@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark: audio-seconds-converted / s / chip on the full RVC path
+(RMVPE pitch + ContentVec-768 features + retrieval blend + NSF-HiFiGAN).
+
+BASELINE.md config 3/4 shape: batch of 10 s utterances, v2 48 kHz model,
+one host.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 50 (the ≥50 audio-sec/s/chip target; the reference
+publishes no numbers of its own — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rvc_tpu_jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rvc_maker_tpu.config import preset
+    from rvc_maker_tpu.models import hubert as hubert_mod
+    from rvc_maker_tpu.models import rmvpe as rmvpe_mod
+    from rvc_maker_tpu.models import synthesizer as syn
+    from rvc_maker_tpu.pipelines.convert import ConvertPipeline, ConvertSettings
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    index_rows = int(os.environ.get("BENCH_INDEX_ROWS", "10000"))
+
+    log(f"devices: {jax.devices()}")
+    cfg = preset("v2", 48000).model
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    log("initializing params (random weights; pretrained ckpts load the same trees)")
+    synth_params = syn.init_params(k1, cfg)
+    hubert_params = hubert_mod.init_params(k2)
+    rmvpe_params = _random_rmvpe(k3)
+    index_vectors = np.asarray(jax.random.normal(k4, (index_rows, 768)),
+                               np.float32)
+
+    pipe = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
+                           rmvpe_params=rmvpe_params,
+                           index_vectors=index_vectors)
+    settings = ConvertSettings(index_rate=0.5, f0_method="rmvpe")
+
+    L = int(16000 * seconds)
+    rs = np.random.RandomState(0)
+    audio = (rs.randn(batch, L) * 0.1).astype(np.float32)
+    lengths = np.full((batch,), L, np.int64)
+
+    log(f"compiling fused convert step (B={batch}, L={L}) ...")
+    t0 = time.time()
+    wav, _ = pipe.convert_batch(audio, lengths, 0, settings)
+    jax.block_until_ready(wav)
+    log(f"compile+first run: {time.time() - t0:.1f}s; wav shape {wav.shape}")
+
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        wav, _ = pipe.convert_batch(audio, lengths, 0, settings)
+        jax.block_until_ready(wav)
+        times.append(time.time() - t0)
+    best = min(times)
+    audio_sec = batch * seconds
+    value = audio_sec / best
+    log(f"times: {[f'{t:.3f}' for t in times]}; audio {audio_sec}s -> {value:.2f} audio-sec/s/chip")
+
+    print(json.dumps({
+        "metric": "audio_sec_converted_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(value / 50.0, 3),
+    }))
+
+
+def _random_rmvpe(key):
+    """Random-weight RMVPE param tree with the real architecture shapes
+    (driver hosts have no model downloads; real rmvpe.pt loads via
+    rvc_maker_tpu.models.rmvpe.load_rmvpe_pt into the same tree)."""
+    import jax
+
+    from rvc_maker_tpu.models.rmvpe import N_CLASS
+
+    keys = iter(jax.random.split(key, 512))
+
+    def conv(cin, cout, k=3):
+        return {"w": np.asarray(jax.random.normal(next(keys), (k, k, cin, cout)),
+                                np.float32) * (1.0 / np.sqrt(k * k * cin))}
+
+    def bn(c):
+        return {"scale": np.ones((c,), np.float32),
+                "shift": np.zeros((c,), np.float32)}
+
+    def block(cin, cout):
+        p = {"conv1": conv(cin, cout), "bn1": bn(cout),
+             "conv2": conv(cout, cout), "bn2": bn(cout)}
+        if cin != cout:
+            p["shortcut"] = {"w": conv(cin, cout, 1)["w"],
+                             "b": np.zeros((cout,), np.float32)}
+        return p
+
+    def enc_layer(cin, cout, n_blocks=4):
+        return {"blocks": [block(cin, cout)] + [block(cout, cout)
+                                                for _ in range(n_blocks - 1)]}
+
+    p = {"in_bn": bn(1), "encoder": [], "intermediate": [], "decoder": []}
+    chans = [(1, 16), (16, 32), (32, 64), (64, 128), (128, 256)]
+    for cin, cout in chans:
+        p["encoder"].append(enc_layer(cin, cout))
+    p["intermediate"].append(enc_layer(256, 512))
+    for _ in range(3):
+        p["intermediate"].append(enc_layer(512, 512))
+    dec_chans = [(512, 256), (256, 128), (128, 64), (64, 32), (32, 16)]
+    for cin, cout in dec_chans:
+        p["decoder"].append({
+            "convt": conv(cin, cout),  # (3,3,cin,cout) pre-flipped layout
+            "bn": bn(cout),
+            "blocks": [block(cout * 2, cout)] + [block(cout, cout)
+                                                 for _ in range(3)],
+        })
+    p["cnn"] = {"w": conv(16, 3)["w"], "b": np.zeros((3,), np.float32)}
+    h = 256
+    p["gru"] = {
+        "w_ih": np.asarray(jax.random.normal(next(keys), (3 * h, 384)), np.float32) * 0.05,
+        "w_hh": np.asarray(jax.random.normal(next(keys), (3 * h, h)), np.float32) * 0.05,
+        "b_ih": np.zeros((3 * h,), np.float32),
+        "b_hh": np.zeros((3 * h,), np.float32),
+        "w_ih_r": np.asarray(jax.random.normal(next(keys), (3 * h, 384)), np.float32) * 0.05,
+        "w_hh_r": np.asarray(jax.random.normal(next(keys), (3 * h, h)), np.float32) * 0.05,
+        "b_ih_r": np.zeros((3 * h,), np.float32),
+        "b_hh_r": np.zeros((3 * h,), np.float32),
+    }
+    p["fc"] = {"w": np.asarray(jax.random.normal(next(keys), (2 * h, N_CLASS)),
+                               np.float32) * 0.05,
+               "b": np.zeros((N_CLASS,), np.float32)}
+    return p
+
+
+if __name__ == "__main__":
+    main()

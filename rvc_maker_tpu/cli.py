@@ -1,0 +1,220 @@
+"""Command-line interface — one dispatcher for every pipeline stage.
+
+Replaces the reference's per-stage argparse scripts + parser.py dispatcher
+(reference main/app/parser.py:11-25).  Stages share the typed config tree
+instead of re-declaring flags.
+
+Usage:
+  python -m rvc_maker_tpu.cli preprocess --dataset ./dataset --exp-dir ./exp --sample-rate 48000
+  python -m rvc_maker_tpu.cli extract    --exp-dir ./exp --version v2 --f0-method rmvpe
+  python -m rvc_maker_tpu.cli index      --exp-dir ./exp --version v2
+  python -m rvc_maker_tpu.cli train      --exp-dir ./exp --sample-rate 48000 --epochs 200
+  python -m rvc_maker_tpu.cli convert    --input in.wav --output out.wav --model model.pth [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def _setup_logging(exp_dir: str | None = None, name: str = "rvc"):
+    handlers = [logging.StreamHandler()]
+    if exp_dir:
+        os.makedirs(exp_dir, exist_ok=True)
+        from logging.handlers import RotatingFileHandler
+        handlers.append(RotatingFileHandler(
+            os.path.join(exp_dir, f"{name}.log"), maxBytes=5 * 1024 * 1024,
+            backupCount=3, encoding="utf-8"))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s.%(msecs)03d | %(levelname)s | %(module)s | %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S", handlers=handlers, force=True)
+
+
+def cmd_preprocess(args):
+    from .pipelines.preprocess import preprocess_dataset
+
+    _setup_logging(args.exp_dir, "preprocess")
+    n = preprocess_dataset(args.dataset, args.exp_dir, args.sample_rate,
+                           per=args.per, num_workers=args.cpu_cores,
+                           cut=args.cut, effects=args.process_effects)
+    print(f"preprocessed: {n} segments")
+
+
+def cmd_extract(args):
+    from .config import preset
+    from .models import hubert as hubert_mod
+    from .pipelines import extract as ex
+
+    _setup_logging(args.exp_dir, "extract")
+    cfg = preset(args.version, args.sample_rate)
+    if args.embedder_path:
+        hubert_params = hubert_mod.load_fairseq_pt(args.embedder_path)
+    else:
+        import jax
+        logging.warning("no --embedder-path: using random HuBERT weights")
+        hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
+
+    rmvpe_params = None
+    method = args.f0_method
+    if method == "rmvpe":
+        if args.rmvpe_path:
+            from .models.rmvpe import load_rmvpe_pt
+            rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
+        else:
+            logging.warning("no --rmvpe-path: falling back to yin f0")
+            method = "yin"
+    ex.extract_f0(args.exp_dir, method=method, rmvpe_params=rmvpe_params)
+    ex.extract_embeddings(args.exp_dir, hubert_params, version=args.version)
+    ex.write_mute_fixture(args.exp_dir, cfg, hubert_params, args.version)
+    ex.generate_filelist(args.exp_dir, cfg, args.version)
+    print("extract: done")
+
+
+def cmd_index(args):
+    import numpy as np
+
+    from .retrieval import build_index, save_index
+
+    _setup_logging(args.exp_dir, "index")
+    feat_dir = os.path.join(args.exp_dir, f"{args.version}_extracted")
+    arrays = [np.load(os.path.join(feat_dir, n))
+              for n in sorted(os.listdir(feat_dir)) if n.endswith(".npy")]
+    feats = np.concatenate(arrays, axis=0)
+    index = build_index(feats, version=args.version)
+    out = os.path.join(args.exp_dir, f"added_{os.path.basename(args.exp_dir)}_{args.version}.index.npz")
+    save_index(index, out)
+    np.save(os.path.join(args.exp_dir, "total_fea.npy"), index.vectors)
+    print(f"index: {index.vectors.shape} -> {out}")
+
+
+def cmd_train(args):
+    from .config import preset
+    from .pipelines.train_loop import train
+
+    _setup_logging(args.exp_dir, "train")
+    cfg = preset(args.version, args.sample_rate)
+    train(args.exp_dir, cfg, total_epochs=args.epochs,
+          batch_size=args.batch_size, save_every_epoch=args.save_every_epoch,
+          save_only_latest=not args.save_all)
+    print("train: done")
+
+
+def cmd_convert(args):
+    import numpy as np
+
+    from .interop import load_synthesizer_pth
+    from .models import hubert as hubert_mod
+    from .pipelines.convert import ConvertPipeline, ConvertSettings
+    from .retrieval import load_index
+    from .utils.audio import load_audio, save_wav
+
+    _setup_logging(None)
+    synth_params, cfg, meta = load_synthesizer_pth(args.model)
+    version = meta.get("version", "v2")
+    if args.embedder_path:
+        hubert_params = hubert_mod.load_fairseq_pt(args.embedder_path)
+    else:
+        import jax
+        logging.warning("no --embedder-path: random HuBERT weights (debug only)")
+        hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
+    rmvpe_params = None
+    method = args.f0_method
+    if method == "rmvpe" and args.rmvpe_path:
+        from .models.rmvpe import load_rmvpe_pt
+        rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
+    elif method == "rmvpe":
+        logging.warning("no --rmvpe-path: falling back to yin f0")
+        method = "yin"
+    index_vectors = None
+    if args.index and args.index_rate > 0:
+        index_vectors = load_index(args.index).vectors
+
+    pipe = ConvertPipeline(synth_params, cfg, hubert_params, version=version,
+                           rmvpe_params=rmvpe_params,
+                           index_vectors=index_vectors)
+    settings = ConvertSettings(
+        pitch=args.pitch, index_rate=args.index_rate, protect=args.protect,
+        f0_method=method, f0_autotune=args.f0_autotune,
+        f0_autotune_strength=args.f0_autotune_strength,
+        volume_envelope=args.volume_envelope, resample_sr=args.resample_sr)
+
+    audio = load_audio(args.input, 16000)
+    peak = np.abs(audio).max() / 0.95
+    if peak > 1:
+        audio = audio / peak
+    out = pipe.convert_utterance(audio, args.sid, settings)
+    out_sr = args.resample_sr if args.resample_sr else cfg.sr
+    save_wav(args.output, out, out_sr)
+    print(f"convert: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="rvc_maker_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("preprocess")
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--exp-dir", required=True)
+    sp.add_argument("--sample-rate", type=int, default=48000)
+    sp.add_argument("--per", type=float, default=3.7)
+    sp.add_argument("--cpu-cores", type=int, default=2)
+    sp.add_argument("--no-cut", dest="cut", action="store_false")
+    sp.add_argument("--no-process-effects", dest="process_effects",
+                    action="store_false")
+    sp.set_defaults(func=cmd_preprocess)
+
+    se = sub.add_parser("extract")
+    se.add_argument("--exp-dir", required=True)
+    se.add_argument("--version", default="v2", choices=["v1", "v2"])
+    se.add_argument("--sample-rate", type=int, default=48000)
+    se.add_argument("--f0-method", default="rmvpe", choices=["rmvpe", "yin"])
+    se.add_argument("--embedder-path", default="")
+    se.add_argument("--rmvpe-path", default="")
+    se.set_defaults(func=cmd_extract)
+
+    si = sub.add_parser("index")
+    si.add_argument("--exp-dir", required=True)
+    si.add_argument("--version", default="v2", choices=["v1", "v2"])
+    si.set_defaults(func=cmd_index)
+
+    st = sub.add_parser("train")
+    st.add_argument("--exp-dir", required=True)
+    st.add_argument("--version", default="v2", choices=["v1", "v2"])
+    st.add_argument("--sample-rate", type=int, default=48000)
+    st.add_argument("--epochs", type=int, default=200)
+    st.add_argument("--batch-size", type=int, default=8)
+    st.add_argument("--save-every-epoch", type=int, default=5)
+    st.add_argument("--save-all", action="store_true")
+    st.set_defaults(func=cmd_train)
+
+    sc = sub.add_parser("convert")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--model", required=True)
+    sc.add_argument("--index", default="")
+    sc.add_argument("--sid", type=int, default=0)
+    sc.add_argument("--pitch", type=int, default=0)
+    sc.add_argument("--index-rate", type=float, default=0.5)
+    sc.add_argument("--protect", type=float, default=0.33)
+    sc.add_argument("--f0-method", default="rmvpe", choices=["rmvpe", "yin"])
+    sc.add_argument("--f0-autotune", action="store_true")
+    sc.add_argument("--f0-autotune-strength", type=float, default=1.0)
+    sc.add_argument("--volume-envelope", type=float, default=1.0)
+    sc.add_argument("--resample-sr", type=int, default=0)
+    sc.add_argument("--embedder-path", default="")
+    sc.add_argument("--rmvpe-path", default="")
+    sc.set_defaults(func=cmd_convert)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

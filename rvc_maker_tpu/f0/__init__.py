@@ -1,0 +1,2 @@
+from .common import autotune_f0, coarse_f0, shift_f0  # noqa: F401
+from .yin import yin  # noqa: F401

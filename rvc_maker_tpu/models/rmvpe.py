@@ -1,0 +1,266 @@
+"""RMVPE pitch estimator in JAX — mel U-Net + BiGRU + salience decode.
+
+Re-implements the behavior of reference main/library/predictors/RMVPE.py:
+log-mel (128 bins, 16 kHz, win 1024 hop 160, fmin 30 fmax 8000, htk) ->
+deep U-Net (5 enc/dec levels, 4 intermediates, 4 res blocks each) ->
+3-channel conv -> BiGRU(256) -> 360-bin sigmoid salience ->
+local-average-cents decode (f0 = 10 * 2^(cents/1200)).
+
+TPU-first details:
+  * NHWC layout — (batch, time, mel, channels); mel/channels ride lanes.
+  * BatchNorm is inference-only here and folded to (scale, shift) at
+    import time (RMVPE is a fixed pretrained predictor; the reference
+    never trains it either).
+  * The per-frame python decode loop (reference RMVPE.py:244-247)
+    becomes a vectorized gather.
+  * Frames padded to a multiple of 32 (five 2x poolings) statically.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stft import rmvpe_mel
+
+Params = Any
+
+N_MELS = 128
+N_CLASS = 360
+CENTS_MAPPING = 20 * np.arange(N_CLASS) + 1997.3794084376191  # RMVPE.py:207
+
+
+# ---------------------------------------------------------------------------
+# building blocks (all convs 3x3 NHWC, BN pre-folded into scale/shift)
+# ---------------------------------------------------------------------------
+
+def _conv2d(x, w, *, stride=(1, 1), padding=(1, 1)):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn(x, p):
+    return x * p["scale"] + p["shift"]
+
+
+def _conv_block_res(p: Params, x):
+    """ConvBlockRes: (conv3x3-BN-ReLU)x2 + shortcut. RMVPE.py:11-22."""
+    y = jax.nn.relu(_bn(_conv2d(x, p["conv1"]["w"]), p["bn1"]))
+    y = jax.nn.relu(_bn(_conv2d(y, p["conv2"]["w"]), p["bn2"]))
+    if "shortcut" in p:
+        x = _conv2d(x, p["shortcut"]["w"], padding=(0, 0)) + p["shortcut"]["b"]
+    return y + x
+
+
+def _res_encoder_block(p: Params, x, pool: bool):
+    for bp in p["blocks"]:
+        x = _conv_block_res(bp, x)
+    if pool:
+        pooled = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+        return x, pooled
+    return x
+
+
+def _res_decoder_block(p: Params, x, skip):
+    """ConvT(3x3, stride 2, pad 1, outpad 1, no bias) + BN + ReLU, concat
+    skip, then res blocks. RMVPE.py:88-106."""
+    # transposed conv === input-dilated conv with flipped kernel.
+    # torch convT2d weight (Cin, Cout, Kh, Kw) stored here as HWIO (flipped).
+    y = jax.lax.conv_general_dilated(
+        x, p["convt"]["w"], window_strides=(1, 1),
+        padding=[(1, 2), (1, 2)],      # k-1-pad=1 low, k-1-pad+outpad=2 high
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jax.nn.relu(_bn(y, p["bn"]))
+    y = jnp.concatenate([y, skip], axis=-1)
+    for bp in p["blocks"]:
+        y = _conv_block_res(bp, y)
+    return y
+
+
+def e2e_apply(p: Params, mel):
+    """Salience network. mel: (B, n_mels, T) as the reference orients it.
+    Returns (B, T, 360) sigmoid salience. T must be a multiple of 32."""
+    x = mel.transpose(0, 2, 1)[..., None]      # (B, T, 128, 1) NHWC
+    x = _bn(x, p["in_bn"])
+
+    skips = []
+    for lp in p["encoder"]:
+        t, x = _res_encoder_block(lp, x, pool=True)
+        skips.append(t)
+    for lp in p["intermediate"]:
+        x = _res_encoder_block(lp, x, pool=False)
+    for i, lp in enumerate(p["decoder"]):
+        x = _res_decoder_block(lp, x, skips[-1 - i])
+
+    x = _conv2d(x, p["cnn"]["w"]) + p["cnn"]["b"]          # (B, T, 128, 3)
+    b, t, f, c = x.shape
+    # reference: (B,3,T,128) -> transpose(1,2) -> flatten(-2) = (B,T,3*128)
+    x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+    x = _bigru(p["gru"], x)
+    x = x @ p["fc"]["w"] + p["fc"]["b"]
+    return jax.nn.sigmoid(x)
+
+
+def _gru_dir(x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
+    """Single-direction GRU via lax.scan, matching torch.nn.GRU numerics.
+
+    x: (B, T, I); weights in torch layout (3H, I) / (3H, H), gate order r,z,n.
+    """
+    hdim = w_hh.shape[1]
+    xg = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih  # (B, T, 3H)
+
+    def step(h, xg_t):
+        hg = h @ w_hh.T + b_hh
+        xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h0 = jnp.zeros((x.shape[0], hdim), x.dtype)
+    _, ys = jax.lax.scan(step, h0, xg.transpose(1, 0, 2), reverse=reverse)
+    return ys.transpose(1, 0, 2)
+
+
+def _bigru(p: Params, x):
+    fwd = _gru_dir(x, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"], reverse=False)
+    bwd = _gru_dir(x, p["w_ih_r"], p["w_hh_r"], p["b_ih_r"], p["b_hh_r"], reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_cents(salience, thred: float = 0.03):
+    """Vectorized local-average-cents decode (reference RMVPE.py:236-252).
+
+    salience: (B, T, 360). Returns f0 (B, T) Hz with 0 = unvoiced.
+    """
+    center = jnp.argmax(salience, axis=-1)                    # (B, T)
+    pad = jnp.pad(salience, ((0, 0), (0, 0), (4, 4)))
+    cmap = jnp.asarray(np.pad(CENTS_MAPPING, (4, 4)).astype(np.float32))
+
+    idx = center[..., None] + jnp.arange(9)[None, None, :]    # padded coords
+    win = jnp.take_along_axis(pad, idx, axis=-1)              # (B, T, 9)
+    cwin = cmap[idx]
+    cents = jnp.sum(win * cwin, axis=-1) / jnp.sum(win, axis=-1)
+    cents = jnp.where(jnp.max(salience, axis=-1) > thred, cents, 0.0)
+    f0 = 10.0 * jnp.power(2.0, cents / 1200.0)
+    return jnp.where(f0 == 10.0, 0.0, f0)
+
+
+def infer(params: Params, audio_16k, *, thred: float = 0.03,
+          f0_min: float | None = None, f0_max: float | None = None):
+    """Full F0 inference. audio_16k: (B, L) at 16 kHz -> f0 (B, T) Hz,
+    T = L//160 + 1. Static shapes: frames padded to x32 and cropped."""
+    mel = rmvpe_mel(audio_16k)                                # (B, 128, T)
+    n_frames = mel.shape[-1]
+    pad_to = 32 * ((n_frames - 1) // 32 + 1)
+    # reference pads in reflect mode (RMVPE.py:213)
+    mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad_to - n_frames)), mode="reflect")
+    hidden = e2e_apply(params, mel)[:, :n_frames]
+    f0 = decode_cents(hidden, thred=thred)
+    if f0_min is not None:
+        f0 = jnp.where((f0 < f0_min) | (f0 > f0_max), 0.0, f0)
+    return f0
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import (BN folding)
+# ---------------------------------------------------------------------------
+
+def _np(t):
+    a = t.detach().cpu().numpy() if not isinstance(t, np.ndarray) else t
+    return a.astype(np.float32) if a.dtype == np.float16 else a
+
+
+def _fold_bn(sd, prefix, eps=1e-5):
+    gamma = _np(sd[f"{prefix}.weight"])
+    beta = _np(sd[f"{prefix}.bias"])
+    mean = _np(sd[f"{prefix}.running_mean"])
+    var = _np(sd[f"{prefix}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale.astype(np.float32),
+            "shift": (beta - mean * scale).astype(np.float32)}
+
+
+def _conv_hwio(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])           # (Cout, Cin, Kh, Kw)
+    out = {"w": np.transpose(w, (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["b"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convt_hwio_flipped(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])           # (Cin, Cout, Kh, Kw)
+    w = np.flip(w, axis=(2, 3))               # pre-flip for dilated-conv form
+    return {"w": np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))}
+
+
+def _block_from(sd, prefix):
+    p = {"conv1": _conv_hwio(sd, f"{prefix}.conv.0"),
+         "bn1": _fold_bn(sd, f"{prefix}.conv.1"),
+         "conv2": _conv_hwio(sd, f"{prefix}.conv.3"),
+         "bn2": _fold_bn(sd, f"{prefix}.conv.4")}
+    if f"{prefix}.shortcut.weight" in sd:
+        p["shortcut"] = _conv_hwio(sd, f"{prefix}.shortcut")
+    return p
+
+
+def params_from_state_dict(sd, *, en_de_layers: int = 5, inter_layers: int = 4,
+                           n_blocks: int = 4) -> Params:
+    """Map the reference E2E state_dict (rmvpe.pt) onto our tree."""
+    p: dict = {"in_bn": _fold_bn(sd, "unet.encoder.bn")}
+
+    p["encoder"] = []
+    for i in range(en_de_layers):
+        blocks = [_block_from(sd, f"unet.encoder.layers.{i}.conv.{j}")
+                  for j in range(n_blocks)]
+        p["encoder"].append({"blocks": blocks})
+
+    p["intermediate"] = []
+    for i in range(inter_layers):
+        blocks = [_block_from(sd, f"unet.intermediate.layers.{i}.conv.{j}")
+                  for j in range(n_blocks)]
+        p["intermediate"].append({"blocks": blocks})
+
+    p["decoder"] = []
+    for i in range(en_de_layers):
+        dp = {"convt": _convt_hwio_flipped(sd, f"unet.decoder.layers.{i}.conv1.0"),
+              "bn": _fold_bn(sd, f"unet.decoder.layers.{i}.conv1.1"),
+              "blocks": [_block_from(sd, f"unet.decoder.layers.{i}.conv2.{j}")
+                         for j in range(n_blocks)]}
+        p["decoder"].append(dp)
+
+    p["cnn"] = _conv_hwio(sd, "cnn")
+    p["gru"] = {
+        "w_ih": _np(sd["fc.0.gru.weight_ih_l0"]),
+        "w_hh": _np(sd["fc.0.gru.weight_hh_l0"]),
+        "b_ih": _np(sd["fc.0.gru.bias_ih_l0"]),
+        "b_hh": _np(sd["fc.0.gru.bias_hh_l0"]),
+        "w_ih_r": _np(sd["fc.0.gru.weight_ih_l0_reverse"]),
+        "w_hh_r": _np(sd["fc.0.gru.weight_hh_l0_reverse"]),
+        "b_ih_r": _np(sd["fc.0.gru.bias_ih_l0_reverse"]),
+        "b_hh_r": _np(sd["fc.0.gru.bias_hh_l0_reverse"]),
+    }
+    p["fc"] = {"w": _np(sd["fc.1.weight"]).T, "b": _np(sd["fc.1.bias"])}
+    return p
+
+
+def load_rmvpe_pt(path: str) -> Params:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return params_from_state_dict(sd)

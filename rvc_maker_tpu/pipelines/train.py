@@ -1,0 +1,224 @@
+"""GAN training — TPU-native re-design of the reference trainer.
+
+Reference behavior (train.py:746-986): per-batch D step then G step,
+AdamW(0.8, 0.99, eps 1e-9), ExponentialLR 0.999875/epoch, losses =
+LSGAN adv + 2x feature-matching + 45x mel L1 + 1x KL.
+
+TPU-first differences (SURVEY.md §2.8):
+  * no process-per-device forking / DDP: ONE jitted train_step over a
+    jax.sharding.Mesh — batch sharded on 'data', params replicated, XLA
+    inserts the gradient psums.
+  * no GradScaler: bf16 has fp32 range; mixed precision is a dtype policy,
+    not a scaler loop.  (fp32 default here; bf16 fast path later.)
+  * the G forward is computed once; the D step consumes y_hat through a
+    stop_gradient, the G step re-uses the same program's VJP.
+  * weight-norm stays live (g, v) for weight-normed convs — but note the
+    synthesizer param tree stores materialized weights; the reference's
+    exact optimizer-dynamics of weight-norm are approximated by plain
+    parametrization for the generator in round 1 (discriminators keep
+    live (g, v)).
+
+The data pipeline (filelists, bucketing) lives in pipelines/data.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import RVCConfig
+from ..models import discriminator as disc
+from ..models import synthesizer as syn
+from ..ops.nn import slice_segments
+from ..ops.stft import mel_spectrogram, spec_to_mel
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params_g: Any
+    params_d: Any
+    opt_g: Any
+    opt_d: Any
+    lr: jnp.ndarray  # current learning rate (decayed per epoch)
+
+
+def make_optimizer(cfg: RVCConfig):
+    # torch.optim.AdamW defaults: weight_decay=0.01
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=cfg.train.learning_rate,
+        b1=cfg.train.betas[0], b2=cfg.train.betas[1],
+        eps=cfg.train.eps, weight_decay=0.01)
+
+
+def init_state(rng, cfg: RVCConfig, disc_width_div: int = 1) -> TrainState:
+    kg, kd = jax.random.split(rng)
+    params_g = syn.init_params(kg, cfg.model)
+    params_d = disc.init_params(kd, cfg.version, disc_width_div)
+    opt = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        params_d=params_d,
+        opt_g=opt.init(params_g),
+        opt_d=opt.init(params_d),
+        lr=jnp.asarray(cfg.train.learning_rate, jnp.float32),
+    )
+
+
+def decay_lr(state: TrainState, cfg: RVCConfig) -> TrainState:
+    """Per-epoch exponential decay (reference train.py:796)."""
+    return state._replace(lr=state.lr * cfg.train.lr_decay)
+
+
+def _global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
+
+
+@dataclasses.dataclass(frozen=True)
+class Batch:
+    """One training batch (padded static shapes, like the reference's
+    bucketed collate train.py:541-606)."""
+    phone: Any          # (B, T_spec, emb_dim) — features repeated x2 on host
+    phone_lengths: Any  # (B,)
+    pitch: Any          # (B, T_spec) int32 coarse
+    pitchf: Any         # (B, T_spec) float Hz
+    spec: Any           # (B, T_spec, spec_channels)
+    spec_lengths: Any   # (B,)
+    wave: Any           # (B, T_spec * hop, 1)
+    sid: Any            # (B,)
+
+
+def make_train_step(cfg: RVCConfig, disc_width_div: int = 1):
+    """Returns jittable train_step(state, batch, rng) -> (state, metrics).
+
+    disc_width_div shrinks discriminator channels for dry runs/tests
+    (1 == reference architecture)."""
+    mcfg = cfg.model
+    dcfg = cfg.data
+    seg_frames = cfg.train.segment_size // dcfg.hop_length
+    periods = disc.PERIODS_V2 if cfg.version == "v2" else disc.PERIODS_V1
+    opt = make_optimizer(cfg)
+
+    def forward_g(params_g, batch: Batch, rng):
+        y_hat, ids_slice, x_mask, y_mask, latents = syn.train_forward(
+            params_g, mcfg, batch.phone, batch.phone_lengths,
+            batch.pitch if mcfg.use_f0 else None, batch.pitchf,
+            batch.spec, batch.spec_lengths, batch.sid, rng)
+        return y_hat, ids_slice, y_mask, latents
+
+    def d_loss_fn(params_d, wave_slice, y_hat):
+        y_d_r, y_d_g, _, _ = disc.mpd_apply(params_d, wave_slice,
+                                            jax.lax.stop_gradient(y_hat),
+                                            periods, disc_width_div)
+        loss_d, r_losses, g_losses = disc.discriminator_loss(y_d_r, y_d_g)
+        return loss_d, (r_losses, g_losses)
+
+    def g_loss_fn(params_g, params_d, batch: Batch, rng):
+        y_hat, ids_slice, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = \
+            forward_g(params_g, batch, rng)
+
+        mel = spec_to_mel(batch.spec, n_fft=dcfg.filter_length,
+                          n_mels=dcfg.n_mel_channels,
+                          sample_rate=dcfg.sample_rate, fmin=dcfg.mel_fmin,
+                          fmax=dcfg.mel_fmax)
+        y_mel = slice_segments(mel, ids_slice, seg_frames)
+        y_hat_mel = mel_spectrogram(
+            y_hat[:, :, 0], n_fft=dcfg.filter_length,
+            num_mels=dcfg.n_mel_channels, sample_rate=dcfg.sample_rate,
+            hop_length=dcfg.hop_length, win_length=dcfg.win_length,
+            fmin=dcfg.mel_fmin, fmax=dcfg.mel_fmax)
+        wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
+                                    cfg.train.segment_size)
+
+        y_d_r, y_d_g, fmap_r, fmap_g = disc.mpd_apply(params_d, wave_slice,
+                                                      y_hat, periods,
+                                                      disc_width_div)
+        loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
+        loss_kl = disc.kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
+        loss_fm = disc.feature_loss(fmap_r, fmap_g)
+        loss_adv, _ = disc.generator_loss(y_d_g)
+        loss = loss_adv + loss_fm + loss_mel + loss_kl
+        aux = dict(loss_mel=loss_mel, loss_kl=loss_kl, loss_fm=loss_fm,
+                   loss_adv=loss_adv, wave_slice=wave_slice, y_hat=y_hat)
+        return loss, aux
+
+    def train_step(state: TrainState, batch: Batch, rng):
+        rng_fwd, _ = jax.random.split(rng)
+
+        # ---- D step (generator output through stop_gradient) ------------
+        y_hat, ids_slice, _, _ = forward_g(state.params_g, batch, rng_fwd)
+        wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
+                                    cfg.train.segment_size)
+        (loss_d, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.params_d, wave_slice, y_hat)
+        d_updates, opt_d = opt.update(
+            d_grads, _with_lr(state.opt_d, state.lr), state.params_d)
+        params_d = optax.apply_updates(state.params_d, d_updates)
+
+        # ---- G step (against the UPDATED D, as the reference does) ------
+        (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_g, params_d, batch, rng_fwd)
+        g_updates, opt_g = opt.update(
+            g_grads, _with_lr(state.opt_g, state.lr), state.params_g)
+        params_g = optax.apply_updates(state.params_g, g_updates)
+
+        metrics = dict(
+            loss_g=loss_g, loss_d=loss_d,
+            loss_mel=aux["loss_mel"], loss_kl=aux["loss_kl"],
+            loss_fm=aux["loss_fm"], loss_adv=aux["loss_adv"],
+            grad_norm_g=_global_norm(g_grads), grad_norm_d=_global_norm(d_grads),
+            lr=state.lr,
+        )
+        new_state = TrainState(step=state.step + 1, params_g=params_g,
+                               params_d=params_d, opt_g=opt_g, opt_d=opt_d,
+                               lr=state.lr)
+        return new_state, metrics
+
+    return train_step
+
+
+def _with_lr(opt_state, lr):
+    """Inject the current (epoch-decayed) learning rate into an
+    inject_hyperparams optimizer state."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+# ---------------------------------------------------------------------------
+# sharded training (data-parallel over a mesh)
+# ---------------------------------------------------------------------------
+
+def make_sharded_train_step(cfg: RVCConfig, mesh, disc_width_div: int = 1):
+    """jit the train step with batch sharded over 'data', params/opt
+    replicated. XLA inserts the grad all-reduce (SURVEY.md §2.8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step = make_train_step(cfg, disc_width_div)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    batch_spec = Batch(
+        phone=batch_sh, phone_lengths=batch_sh, pitch=batch_sh,
+        pitchf=batch_sh, spec=batch_sh, spec_lengths=batch_sh,
+        wave=batch_sh, sid=batch_sh)
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_spec, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+jax.tree_util.register_pytree_node(
+    Batch,
+    lambda b: ((b.phone, b.phone_lengths, b.pitch, b.pitchf, b.spec,
+                b.spec_lengths, b.wave, b.sid), None),
+    lambda _, c: Batch(*c),
+)

@@ -1,0 +1,154 @@
+"""Epoch loop, checkpointing, resume, and inference-weight export.
+
+Reference behavior (train.py run/train_and_evaluate): per-epoch LR decay,
+G_/D_ checkpoints (latest or per-N-epochs), stripped inference weights
+exported per save, overtraining detector on EMA-smoothed losses, scalar
+logging every log_interval.
+
+TPU-native: one jitted sharded train step over a Mesh; orbax checkpoints
+hold the whole TrainState (params + optimizer + step + lr), so resume is
+exact.  SIGTERM triggers a final checkpoint save (preemption tolerance,
+SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import signal
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import RVCConfig
+from ..parallel import data_mesh, replicate, shard_leading
+from . import data as data_mod
+from . import train as train_mod
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(state: train_mod.TrainState, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+
+
+def load_checkpoint(path: str, template: train_mod.TrainState):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path),
+                             item=jax.device_get(template))
+    return train_mod.TrainState(*restored)
+
+
+class OvertrainingDetector:
+    """EMA-smoothed generator/discriminator loss watcher
+    (reference train.py:900-953)."""
+
+    def __init__(self, threshold_g: int = 50, smoothing: float = 0.987):
+        self.smoothing = smoothing
+        self.g_history: list[float] = []
+        self.smoothed: Optional[float] = None
+        self.threshold_g = threshold_g
+
+    def update(self, loss_g: float) -> bool:
+        self.smoothed = (loss_g if self.smoothed is None
+                         else self.smoothing * self.smoothed
+                         + (1 - self.smoothing) * loss_g)
+        self.g_history.append(self.smoothed)
+        if len(self.g_history) < self.threshold_g + 1:
+            return False
+        window = self.g_history[-self.threshold_g:]
+        # overtraining: smoothed loss stopped improving over the window
+        return min(window) > min(self.g_history[: -self.threshold_g]) - 0.004
+
+
+def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
+          batch_size: int = 8, save_every_epoch: int = 5,
+          save_only_latest: bool = True, mesh=None,
+          log_writer=None) -> train_mod.TrainState:
+    """Run training from the experiment dir (expects filelist.txt)."""
+    if mesh is None:
+        mesh = data_mesh()
+    n_dev = int(np.prod([d for d in mesh.devices.shape]))
+
+    dataset = data_mod.TrainingDataset(os.path.join(exp_dir, "filelist.txt"), cfg)
+    logger.info("dataset: %d rows; mesh: %s devices", len(dataset), n_dev)
+
+    state = train_mod.init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    start_epoch = 1
+    latest = os.path.join(exp_dir, "ckpt_latest")
+    if os.path.isdir(latest):
+        state = load_checkpoint(latest, state)
+        start_epoch = int(np.asarray(state.step)) // max(len(dataset) // max(batch_size, 1), 1) + 1
+        logger.info("resumed from %s at step %d", latest, int(np.asarray(state.step)))
+    state = replicate(state, mesh)
+
+    step_fn = train_mod.make_sharded_train_step(cfg, mesh)
+    detector = OvertrainingDetector()
+
+    stop = {"now": False}
+
+    def _sigterm(signum, frame):
+        logger.warning("SIGTERM — saving checkpoint before exit")
+        stop["now"] = True
+
+    old_handler = signal.signal(signal.SIGTERM, _sigterm)
+
+    rng = jax.random.PRNGKey(cfg.train.seed + 777)
+    try:
+        for epoch in range(start_epoch, total_epochs + 1):
+            t0 = time.time()
+            n_batches = 0
+            for batch in data_mod.batches_for_epoch(
+                    dataset, batch_size=batch_size * n_dev, epoch=epoch,
+                    seed=cfg.train.seed):
+                rng, step_rng = jax.random.split(rng)
+                batch = shard_leading(batch, mesh)
+                state, metrics = step_fn(state, batch, replicate(step_rng, mesh))
+                n_batches += 1
+                step = int(np.asarray(state.step))
+                if step % cfg.train.log_interval == 0:
+                    m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                    logger.info("epoch %d step %d: %s", epoch, step,
+                                {k: round(v, 4) for k, v in m.items()})
+                    if log_writer is not None:
+                        log_writer(step, m)
+                if stop["now"]:
+                    break
+            state = train_mod.decay_lr(state, cfg)
+            loss_g = float(np.asarray(metrics["loss_g"])) if n_batches else 0.0
+            if detector.update(loss_g):
+                logger.warning("overtraining detected at epoch %d", epoch)
+            logger.info("epoch %d done (%d batches, %.1fs)", epoch, n_batches,
+                        time.time() - t0)
+            if epoch % save_every_epoch == 0 or stop["now"] or epoch == total_epochs:
+                save_checkpoint(state, latest)
+                if not save_only_latest:
+                    save_checkpoint(state, os.path.join(exp_dir, f"ckpt_e{epoch}"))
+                export_inference_weights(
+                    state, cfg, os.path.join(exp_dir, f"weights_e{epoch}.pth"),
+                    epoch=epoch)
+            if stop["now"]:
+                break
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
+    return state
+
+
+def export_inference_weights(state: train_mod.TrainState, cfg: RVCConfig,
+                             path: str, *, epoch: int = 0,
+                             author: str = "") -> None:
+    """Write reference-interchange inference weights (.pth): fp16 state
+    dict minus enc_q + config list + metadata (train.py:724-744)."""
+    from ..interop.torch_export import export_synthesizer_pth
+
+    params = jax.device_get(state.params_g)
+    export_synthesizer_pth(params, cfg, path, epoch=epoch,
+                           step=int(np.asarray(state.step)), author=author)

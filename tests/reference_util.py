@@ -1,0 +1,64 @@
+"""Golden-output access to the PyTorch reference at /root/reference.
+
+Tests import reference modules *in place* (read-only) to generate golden
+outputs on CPU — our framework code never depends on this; it exists so
+numerical parity is asserted against the real reference, not against a
+re-transcription of it (SURVEY.md §4 point 1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib
+import sys
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_shims():
+    """Stub out reference deps absent from this image (omegaconf)."""
+    import types
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        class DictConfig(dict):
+            pass
+
+        @contextlib.contextmanager
+        def open_dict(x):
+            yield x
+
+        om.DictConfig = DictConfig
+        om.open_dict = open_dict
+        sys.modules["omegaconf"] = om
+
+
+def ref_module(name: str):
+    """Import a module from the reference tree, e.g.
+    ref_module('main.library.algorithm.synthesizers')."""
+    _install_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return importlib.import_module(name)
+
+
+@contextlib.contextmanager
+def zero_noise_torch():
+    """Silence the reference's implicit randomness so fp32 parity can be
+    asserted: torch.randn_like -> zeros, torch.rand -> zeros.
+
+    Known noise seams (SURVEY.md §4): infer prior noise (synthesizers.py:449),
+    SineGen dither + rand_ini (synthesizers.py:87-98), posterior noise
+    (synthesizers.py:391).
+    """
+    import torch
+
+    saved = (torch.randn_like, torch.rand, torch.randn)
+    try:
+        torch.randn_like = lambda x, **kw: torch.zeros_like(x)
+        torch.rand = lambda *s, **kw: torch.zeros(*s, **{k: v for k, v in kw.items() if k in ("device", "dtype")})
+        torch.randn = lambda *s, **kw: torch.zeros(*s, **{k: v for k, v in kw.items() if k in ("device", "dtype")})
+        yield
+    finally:
+        torch.randn_like, torch.rand, torch.randn = saved
