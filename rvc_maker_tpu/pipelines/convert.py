@@ -81,8 +81,9 @@ class ConvertPipeline:
                  hubert_params: Any, version: str = "v2",
                  rmvpe_params: Any = None,
                  index_vectors: Optional[np.ndarray] = None,
-                 rmvpe_microbatch: int = 8):
+                 rmvpe_microbatch: int = 8, max_device_batch: int = 8):
         self.rmvpe_microbatch = rmvpe_microbatch
+        self.max_device_batch = max_device_batch
         self.synth_params = synth_params
         self.cfg = model_cfg
         self.hubert_params = hubert_params
@@ -92,81 +93,141 @@ class ConvertPipeline:
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
 
-    # -- the single-program device step ----------------------------------
+    # -- staged device programs ------------------------------------------
+    #
+    # Three jitted stages (f0 / features / synth) instead of one mega-jit:
+    # intermediate arrays stay on device and the calls dispatch
+    # asynchronously, so there is no host round-trip between stages — but
+    # each stage compiles alone (minutes faster on the remote-compile
+    # tunnel) and is reused across setting variants independently.
 
-    def _build_step(self, use_index: bool, f0_method: str):
-        cfg = self.cfg
-        version = self.version
-
-        def step(synth_params, hubert_params, rmvpe_params, index_vectors,
-                 audio, lengths, sid, pitch_shift, index_rate, protect,
-                 autotune_strength, rng):
-            # audio: (B, L) padded 16k; lengths: (B,) valid samples
-            b, L = audio.shape
-
-            # ---- F0 ----------------------------------------------------
-            if f0_method == "rmvpe":
-                # microbatch the U-Net: its skip activations are the peak
-                # HBM temp (B=32 x 10 s OOMs a v5e otherwise); lax.map
-                # keeps one microbatch of temps live at a time
-                mb = self.rmvpe_microbatch
-                if b > mb and b % mb == 0:
-                    f0 = jax.lax.map(
-                        lambda chunk: rmvpe_mod.infer(rmvpe_params, chunk),
-                        audio.reshape(b // mb, mb, L)).reshape(b, -1)
-                else:
-                    f0 = rmvpe_mod.infer(rmvpe_params, audio)   # (B, L//160+1)
-            else:
-                f0 = yin(audio, sr=SAMPLE_RATE, fmin=50.0, fmax=1100.0,
-                         hop_length=WINDOW)
-            f0 = shift_f0(f0, pitch_shift)
-            f0 = jnp.where(autotune_strength > 0,
-                           autotune_f0(f0, autotune_strength), f0)
-
-            # ---- content features -------------------------------------
-            feats, _ = hubert_mod.extract_features(
-                hubert_params, audio, lengths, output_layer=12 if version == "v2" else 9)
-            if version == "v1":
-                feats = hubert_mod.final_proj(hubert_params, feats)
-
-            feats0 = feats
-            if use_index:
-                feats = retrieval_blend(feats, index_vectors, index_rate)
-
-            feats = interp_nearest_x2(feats)                    # ~100 Hz frames
-            feats0 = interp_nearest_x2(feats0)
-
-            # ---- align f0 to feature frames (reference convert.py:364-370)
-            p_len = min(L // WINDOW, feats.shape[1])
-            feats = feats[:, :p_len]
-            feats0 = feats0[:, :p_len]
-            pitchf = f0[:, :p_len]
-            pitch = coarse_f0(pitchf)
-
-            # ---- protect: restore original feats on unvoiced frames ----
-            pitchff = jnp.where(pitchf > 0, 1.0, protect)[:, :, None]
-            do_protect = protect < 0.5
-            feats = jnp.where(do_protect,
-                              feats * pitchff + feats0 * (1.0 - pitchff),
-                              feats)
-
-            # ---- synthesize -------------------------------------------
-            frame_lengths = jnp.minimum(lengths // WINDOW, p_len)
-            k1, k2 = jax.random.split(rng)
-            z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels))
-            sine_noise = jax.random.normal(k2, (b, p_len * cfg.upp, 1))
-            wav, _, _ = syn.infer(synth_params, cfg, feats, frame_lengths,
-                                  pitch if cfg.use_f0 else None, pitchf,
-                                  sid, z_noise, sine_noise)
-            return wav[:, :, 0], pitchf
-
-        return jax.jit(step)
-
-    def _get_step(self, use_index: bool, f0_method: str):
-        key = (use_index, f0_method)
+    def _stage_f0(self, f0_method: str):
+        key = ("f0", f0_method)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(use_index, f0_method)
+            if f0_method == "rmvpe":
+                mb_size = self.rmvpe_microbatch
+
+                def f0_fn(rmvpe_params, audio, pitch_shift, autotune_strength):
+                    b, L = audio.shape
+                    if b > mb_size and b % mb_size == 0:
+                        # microbatch the U-Net: its skip activations are
+                        # the peak HBM temp (B=32 x 10 s OOMs a v5e);
+                        # lax.map keeps one microbatch of temps live
+                        f0 = jax.lax.map(
+                            lambda chunk: rmvpe_mod.infer(rmvpe_params, chunk),
+                            audio.reshape(b // mb_size, mb_size, L)
+                        ).reshape(b, -1)
+                    else:
+                        f0 = rmvpe_mod.infer(rmvpe_params, audio)
+                    f0 = shift_f0(f0, pitch_shift)
+                    return jnp.where(autotune_strength > 0,
+                                     autotune_f0(f0, autotune_strength), f0)
+            else:
+                def f0_fn(rmvpe_params, audio, pitch_shift, autotune_strength):
+                    f0 = yin(audio, sr=SAMPLE_RATE, fmin=50.0, fmax=1100.0,
+                             hop_length=WINDOW)
+                    f0 = shift_f0(f0, pitch_shift)
+                    return jnp.where(autotune_strength > 0,
+                                     autotune_f0(f0, autotune_strength), f0)
+            self._step_cache[key] = jax.jit(f0_fn)
         return self._step_cache[key]
+
+    def _stage_features(self, use_index: bool):
+        key = ("feat", use_index)
+        if key not in self._step_cache:
+            version = self.version
+
+            def feat_fn(hubert_params, index_vectors, audio, lengths,
+                        index_rate):
+                feats, _ = hubert_mod.extract_features(
+                    hubert_params, audio, lengths,
+                    output_layer=12 if version == "v2" else 9)
+                if version == "v1":
+                    feats = hubert_mod.final_proj(hubert_params, feats)
+                feats0 = feats
+                if use_index:
+                    feats = retrieval_blend(feats, index_vectors, index_rate)
+                return interp_nearest_x2(feats), interp_nearest_x2(feats0)
+
+            self._step_cache[key] = jax.jit(feat_fn)
+        return self._step_cache[key]
+
+    def _stage_synth(self):
+        key = ("synth",)
+        if key not in self._step_cache:
+            cfg = self.cfg
+
+            def synth_fn(synth_params, feats, feats0, f0, lengths, sid,
+                         protect, rng):
+                b = feats.shape[0]
+                p_len = feats.shape[1]
+                pitchf = f0[:, :p_len]
+                pitch = coarse_f0(pitchf)
+                # protect: restore original feats on unvoiced frames
+                # (reference convert.py:372-378)
+                pitchff = jnp.where(pitchf > 0, 1.0, protect)[:, :, None]
+                feats = jnp.where(protect < 0.5,
+                                  feats * pitchff + feats0 * (1.0 - pitchff),
+                                  feats)
+                frame_lengths = jnp.minimum(lengths // WINDOW, p_len)
+                k1, k2 = jax.random.split(rng)
+                z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels))
+                sine_noise = jax.random.normal(k2, (b, p_len * cfg.upp, 1))
+                wav, _, _ = syn.infer(synth_params, cfg, feats, frame_lengths,
+                                      pitch if cfg.use_f0 else None, pitchf,
+                                      sid, z_noise, sine_noise)
+                return wav[:, :, 0], pitchf
+
+            self._step_cache[key] = jax.jit(synth_fn)
+        return self._step_cache[key]
+
+    # -- host-side F0 methods (native C++ WORLD-style, hybrid) -----------
+
+    def _host_f0(self, method: str, audio_batch: np.ndarray,
+                 settings: ConvertSettings) -> np.ndarray:
+        """F0 for methods that run on host (dio/harvest via the native
+        C++ library; hybrid[...] combinations — reference convert.py
+        get_f0/get_f0_hybrid:283-323). Returns (B, L//160 + 1) Hz."""
+        from .. import native
+        from ..f0.common import NOTE_FREQS
+
+        b, L = audio_batch.shape
+        p_len = L // WINDOW + 1
+        out = np.zeros((b, p_len), np.float32)
+
+        methods = ([m.strip() for m in
+                    method[len("hybrid["):-1].split("+")]
+                   if method.startswith("hybrid[") else [method])
+
+        for i in range(b):
+            stack = []
+            for m in methods:
+                if m in ("dio", "harvest"):
+                    fn = native.harvest if m == "harvest" else native.dio
+                    f0, t = fn(audio_batch[i].astype(np.float64), SAMPLE_RATE,
+                               f0_floor=50.0, f0_ceil=1100.0,
+                               frame_period=10.0)
+                    if m == "dio":
+                        f0 = native.stonemask(audio_batch[i].astype(np.float64),
+                                              SAMPLE_RATE, t, f0)
+                elif m in ("rmvpe", "yin"):
+                    f0 = np.asarray(self._stage_f0(m)(
+                        self.rmvpe_params, jnp.asarray(audio_batch[i : i + 1]),
+                        jnp.float32(0.0), jnp.float32(0.0)))[0]
+                else:
+                    raise ValueError(f"unknown f0 method {m!r}")
+                # resample to p_len (reference convert.py:299-300)
+                stack.append(np.interp(np.linspace(0, len(f0) - 1, p_len),
+                                       np.arange(len(f0)), f0))
+            f0 = (stack[0] if len(stack) == 1
+                  else np.nanmedian(np.vstack(stack), axis=0))
+            out[i] = f0
+        out = out * (2.0 ** (settings.pitch / 12.0))
+        if settings.f0_autotune:
+            notes = NOTE_FREQS
+            nearest = notes[np.argmin(np.abs(out[..., None] - notes), axis=-1)]
+            out = out + (nearest - out) * settings.f0_autotune_strength
+        return out
 
     # -- device batch conversion of equal-bucket chunks ------------------
 
@@ -174,24 +235,53 @@ class ConvertPipeline:
                       sid: int, settings: ConvertSettings,
                       rng: Optional[jax.Array] = None):
         """audio_batch: (B, L) float32 @16 kHz (already padded to bucket).
-        Returns (wav (B, L//160 * upp_sr_samples), pitchf) on device."""
+        Returns (wav (B, L//160 * upp_sr_samples), pitchf) on device.
+
+        Batches larger than max_device_batch are split into device-sized
+        microbatches (the NSF stack's output-rate activations are the
+        peak HBM cost; 32 x 10 s in one program exceeds a v5e's 16 GB)."""
+        b_total = audio_batch.shape[0]
+        mdb = self.max_device_batch
+        if b_total > mdb:
+            outs = []
+            pitchfs = []
+            for i in range(0, b_total, mdb):
+                w, pf = self.convert_batch(audio_batch[i : i + mdb],
+                                           lengths[i : i + mdb], sid,
+                                           settings, rng)
+                outs.append(w)
+                pitchfs.append(pf)
+            return jnp.concatenate(outs, 0), jnp.concatenate(pitchfs, 0)
+
         use_index = (self.index_vectors is not None
                      and settings.index_rate > 0)
-        step = self._get_step(use_index, settings.f0_method)
-        if rng is None:
+        if rng is None or settings.deterministic:
             rng = jax.random.PRNGKey(0)
-        if settings.deterministic:
-            rng = jax.random.PRNGKey(0)  # fixed; noise still sampled
-        b = audio_batch.shape[0]
-        return step(
-            self.synth_params, self.hubert_params, self.rmvpe_params,
-            self.index_vectors if use_index else jnp.zeros((1, 256 if self.version == "v1" else 768), jnp.float32),
-            jnp.asarray(audio_batch), jnp.asarray(lengths),
-            jnp.full((b,), sid, jnp.int32),
-            jnp.float32(settings.pitch), jnp.float32(settings.index_rate),
-            jnp.float32(settings.protect),
-            jnp.float32(settings.f0_autotune_strength if settings.f0_autotune else 0.0),
-            rng)
+        b, L = audio_batch.shape
+        audio = jnp.asarray(audio_batch)
+        lengths_d = jnp.asarray(lengths)
+        dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
+                                jnp.float32)
+
+        if settings.f0_method in ("rmvpe", "yin"):
+            f0 = self._stage_f0(settings.f0_method)(
+                self.rmvpe_params, audio, jnp.float32(settings.pitch),
+                jnp.float32(settings.f0_autotune_strength
+                            if settings.f0_autotune else 0.0))
+        else:
+            f0 = jnp.asarray(self._host_f0(settings.f0_method, audio_batch,
+                                           settings))
+        feats, feats0 = self._stage_features(use_index)(
+            self.hubert_params,
+            self.index_vectors if use_index else dummy_index,
+            audio, lengths_d, jnp.float32(settings.index_rate))
+        # align features to f0 frames (reference convert.py:364-370):
+        # p_len = min(L // window, feature frames) — both static
+        p_len = min(L // WINDOW, feats.shape[1])
+        return self._stage_synth()(
+            self.synth_params, feats[:, :p_len], feats0[:, :p_len],
+            f0[:, :p_len], lengths_d, jnp.full((b,), sid, jnp.int32),
+            jnp.float32(settings.protect), rng)
 
     # -- full single-utterance conversion (reference VC.pipeline) --------
 
@@ -240,8 +330,9 @@ class ConvertPipeline:
             wav, _ = self.convert_batch(padded, np.asarray([len(chunk)]),
                                         sid, s)
             wav = np.asarray(wav[0])
-            # valid decoded samples for this chunk
-            n_out = (len(chunk) // WINDOW) * (tgt_sr // 100)
+            # valid decoded samples: upp output samples per 100 Hz frame
+            # (upp == tgt_sr/100 for all reference presets)
+            n_out = (len(chunk) // WINDOW) * self.cfg.upp
             n_out = min(n_out, wav.shape[0])
             pieces.append(wav[:n_out][t_pad_tgt:-t_pad_tgt]
                           if n_out > 2 * t_pad_tgt else wav[:n_out])
