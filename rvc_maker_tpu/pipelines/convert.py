@@ -210,6 +210,10 @@ class ConvertPipeline:
                     if m == "dio":
                         f0 = native.stonemask(audio_batch[i].astype(np.float64),
                                               SAMPLE_RATE, t, f0)
+                elif m == "swipe":
+                    from ..f0.swipe import swipe as swipe_fn
+                    f0, _ = swipe_fn(audio_batch[i], SAMPLE_RATE,
+                                     f0_floor=50.0, f0_ceil=1100.0)
                 elif m in ("rmvpe", "yin"):
                     f0 = np.asarray(self._stage_f0(m)(
                         self.rmvpe_params, jnp.asarray(audio_batch[i : i + 1]),
@@ -258,8 +262,8 @@ class ConvertPipeline:
         if rng is None or settings.deterministic:
             rng = jax.random.PRNGKey(0)
         b, L = audio_batch.shape
-        audio = jnp.asarray(audio_batch)
-        lengths_d = jnp.asarray(lengths)
+        audio = jnp.asarray(audio_batch, jnp.float32)
+        lengths_d = jnp.asarray(lengths, jnp.int32)
         dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
                                 jnp.float32)
 
