@@ -84,12 +84,16 @@ class ConvertPipeline:
                  rmvpe_microbatch: int = 8, max_device_batch: int = 8):
         self.rmvpe_microbatch = rmvpe_microbatch
         self.max_device_batch = max_device_batch
-        self.synth_params = synth_params
+        # device_put once: params passed as numpy would otherwise be
+        # re-uploaded host->device on EVERY call (catastrophic through a
+        # tunneled backend — observed 9 s/call for RMVPE's ~300 MB)
+        self.synth_params = jax.device_put(synth_params)
         self.cfg = model_cfg
-        self.hubert_params = hubert_params
+        self.hubert_params = jax.device_put(hubert_params)
         self.version = version
-        self.rmvpe_params = rmvpe_params
-        self.index_vectors = (jnp.asarray(index_vectors)
+        self.rmvpe_params = (jax.device_put(rmvpe_params)
+                             if rmvpe_params is not None else None)
+        self.index_vectors = (jax.device_put(jnp.asarray(index_vectors))
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
 
