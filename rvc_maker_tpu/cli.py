@@ -152,6 +152,50 @@ def cmd_convert(args):
     print(f"convert: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
 
 
+def cmd_effects(args):
+    from .utils.audio import load_audio, read_wav, save_wav
+    from .utils.effects import EffectsSettings, apply_effects
+
+    _setup_logging(None)
+    audio, sr = read_wav(args.input)
+    if audio.ndim == 2:
+        audio = audio.mean(axis=1)
+    kwargs = {}
+    for f in EffectsSettings.__dataclass_fields__:
+        if hasattr(args, f):
+            kwargs[f] = getattr(args, f)
+    out, out_sr = apply_effects(audio, sr, EffectsSettings(**kwargs))
+    save_wav(args.output, out, out_sr)
+    print(f"effects: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
+
+
+def cmd_fuse(args):
+    from .utils.model_tools import fuse_models
+
+    out = fuse_models(args.model_a, args.model_b, args.output,
+                      ratio=args.ratio)
+    print(f"fused -> {out}")
+
+
+def cmd_info(args):
+    import json
+
+    from .utils.model_tools import model_info
+
+    print(json.dumps(model_info(args.model), indent=2, default=str))
+
+
+def cmd_tensorboard(args):
+    from .pipelines.tb_logging import launch_tensorboard
+
+    url = launch_tensorboard(args.logdir, args.port)
+    print(f"tensorboard at {url}")
+    import time
+
+    while True:
+        time.sleep(60)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="rvc_maker_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -208,6 +252,35 @@ def build_parser():
     sc.add_argument("--embedder-path", default="")
     sc.add_argument("--rmvpe-path", default="")
     sc.set_defaults(func=cmd_convert)
+
+    sx = sub.add_parser("effects")
+    sx.add_argument("--input", required=True)
+    sx.add_argument("--output", required=True)
+    from .utils.effects import EffectsSettings
+    for fname, fdef in EffectsSettings.__dataclass_fields__.items():
+        arg = "--" + fname.replace("_", "-")
+        if fdef.type == "bool" or isinstance(fdef.default, bool):
+            sx.add_argument(arg, dest=fname, action="store_true")
+        else:
+            sx.add_argument(arg, dest=fname,
+                            type=type(fdef.default), default=fdef.default)
+    sx.set_defaults(func=cmd_effects)
+
+    sf = sub.add_parser("fuse")
+    sf.add_argument("--model-a", required=True)
+    sf.add_argument("--model-b", required=True)
+    sf.add_argument("--output", required=True)
+    sf.add_argument("--ratio", type=float, default=0.5)
+    sf.set_defaults(func=cmd_fuse)
+
+    sn = sub.add_parser("info")
+    sn.add_argument("--model", required=True)
+    sn.set_defaults(func=cmd_info)
+
+    sb = sub.add_parser("tensorboard")
+    sb.add_argument("--logdir", required=True)
+    sb.add_argument("--port", type=int, default=6006)
+    sb.set_defaults(func=cmd_tensorboard)
     return p
 
 

@@ -81,6 +81,17 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     dataset = data_mod.TrainingDataset(os.path.join(exp_dir, "filelist.txt"), cfg)
     logger.info("dataset: %d rows; mesh: %s devices", len(dataset), n_dev)
 
+    tb = None
+    if log_writer is None:
+        from .tb_logging import TensorBoardLogger
+
+        tb = TensorBoardLogger(os.path.join(exp_dir, "tb"))
+
+        def log_writer(step, metrics):
+            tb.scalars(step, {f"loss/{k}" if k.startswith("loss") else k: v
+                              for k, v in metrics.items()})
+            tb.flush()
+
     state = train_mod.init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     start_epoch = 1
     latest = os.path.join(exp_dir, "ckpt_latest")
@@ -139,6 +150,8 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                 break
     finally:
         signal.signal(signal.SIGTERM, old_handler)
+        if tb is not None:
+            tb.close()
     return state
 
 

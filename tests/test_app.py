@@ -1,0 +1,92 @@
+"""Web app API tests — in-process server, tiny exported model."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+import jax
+
+from rvc_maker_tpu.app import server as app_server
+from rvc_maker_tpu.config import ModelConfig, RVCConfig
+from rvc_maker_tpu.interop.torch_export import export_synthesizer_pth
+from rvc_maker_tpu.models import synthesizer as syn
+
+# consistent tiny model (hop == upp == sr/100)
+CFG_M = ModelConfig(
+    spec_channels=129, segment_size=8, inter_channels=32, hidden_channels=32,
+    filter_channels=64, n_heads=2, n_layers=1, kernel_size=3,
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    upsample_rates=(4, 4, 2, 2), upsample_initial_channel=32,
+    upsample_kernel_sizes=(8, 8, 4, 4), spk_embed_dim=4, gin_channels=16,
+    sr=6400, use_f0=True, text_enc_hidden_dim=768)
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), app_server.Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_index_page(server_port):
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/").read().decode()
+    assert "Voice conversion" in html and "Model fusion" in html
+
+
+def test_model_info_endpoint(tmp_path, server_port):
+    params = syn.init_params(jax.random.PRNGKey(0), CFG_M)
+    p = str(tmp_path / "m.pth")
+    export_synthesizer_pth(params, RVCConfig(version="v2", model=CFG_M), p)
+    info = _post(server_port, "/api/model_info", {"model": p})
+    assert info["sr"] == 6400 and info["version"] == "v2"
+
+
+def test_convert_endpoint(tmp_path, server_port):
+    params = syn.init_params(jax.random.PRNGKey(1), CFG_M)
+    p = str(tmp_path / "m.pth")
+    export_synthesizer_pth(params, RVCConfig(version="v2", model=CFG_M), p)
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, tone)
+    resp = _post(server_port, "/api/convert", {
+        "audio_b64": base64.b64encode(buf.getvalue()).decode(),
+        "model": p, "f0_method": "yin", "index_rate": 0.0})
+    assert resp["sr"] == 6400
+    out_sr, out = wavfile.read(io.BytesIO(base64.b64decode(resp["audio_b64"])))
+    assert out_sr == 6400
+    assert abs(len(out) / out_sr - 1.0) < 0.3
+    assert np.all(np.isfinite(out))
+
+
+def test_error_surface(server_port):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/api/model_info",
+        data=json.dumps({"model": "/nope.pth"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "should have errored"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "error" in json.loads(e.read())
