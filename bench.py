@@ -39,6 +39,7 @@ def main():
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     index_rows = int(os.environ.get("BENCH_INDEX_ROWS", "10000"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | fp32
 
     log(f"devices: {jax.devices()}")
     cfg = preset("v2", 48000).model
@@ -52,9 +53,14 @@ def main():
     index_vectors = np.asarray(jax.random.normal(k4, (index_rows, 768)),
                                np.float32)
 
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
+    log(f"compute dtype: {dtype_name}")
     pipe = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
                            rmvpe_params=rmvpe_params,
-                           index_vectors=index_vectors)
+                           index_vectors=index_vectors,
+                           compute_dtype=compute_dtype)
     settings = ConvertSettings(index_rate=0.5, f0_method="rmvpe")
 
     L = int(16000 * seconds)

@@ -168,7 +168,11 @@ def infer(params: Params, audio_16k, *, thred: float = 0.03,
     pad_to = 32 * ((n_frames - 1) // 32 + 1)
     # reference pads in reflect mode (RMVPE.py:213)
     mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad_to - n_frames)), mode="reflect")
-    hidden = e2e_apply(params, mel)[:, :n_frames]
+    # run the salience net in the params' dtype (bf16 fast mode supported);
+    # the cents decode always happens in fp32
+    net_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    hidden = e2e_apply(params, mel.astype(net_dtype))[:, :n_frames]
+    hidden = hidden.astype(jnp.float32)
     f0 = decode_cents(hidden, thred=thred)
     if f0_min is not None:
         f0 = jnp.where((f0 < f0_min) | (f0 > f0_max), 0.0, f0)

@@ -312,6 +312,9 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise):
     sine_noise: (B, T*upp, 1). Returns waveform (B, T*upp, 1)."""
     har = source_module(p["source"], f0, sine_noise, upp=cfg.upp,
                         sample_rate=cfg.sr)                     # (B, T*upp, 1)
+    # sine phase accumulation is fp32 regardless of compute dtype; cast
+    # the source down so bf16 fast mode doesn't up-promote the conv stack
+    har = har.astype(x.dtype)
     x = conv1d(x, p["conv_pre"]["w"], p["conv_pre"]["b"], padding=3)
     if g is not None:
         x = x + linear(g, p["cond"]["w"], p["cond"]["b"])

@@ -81,19 +81,50 @@ class ConvertPipeline:
                  hubert_params: Any, version: str = "v2",
                  rmvpe_params: Any = None,
                  index_vectors: Optional[np.ndarray] = None,
-                 rmvpe_microbatch: int = 8, max_device_batch: int = 8):
+                 rmvpe_microbatch: int = 8, max_device_batch: int = 8,
+                 compute_dtype=None, mesh=None):
+        """compute_dtype: None (fp32 parity) or jnp.bfloat16 fast mode —
+        model weights and activations run bf16 while F0 decode, sine
+        phase accumulation and STFTs stay fp32.
+
+        mesh: optional jax.sharding.Mesh — params replicate, conversion
+        batches shard over the 'data' axis and each jitted stage runs
+        SPMD across the mesh (chunks-as-batch data parallelism,
+        SURVEY.md §5.7; BASELINE config 5)."""
         self.rmvpe_microbatch = rmvpe_microbatch
-        self.max_device_batch = max_device_batch
-        # device_put once: params passed as numpy would otherwise be
-        # re-uploaded host->device on EVERY call (catastrophic through a
-        # tunneled backend — observed 9 s/call for RMVPE's ~300 MB)
-        self.synth_params = jax.device_put(synth_params)
+        self.mesh = mesh
+        self._n_mesh = 1
+        if mesh is not None:
+            import numpy as _np
+
+            self._n_mesh = int(_np.prod(list(mesh.devices.shape)))
+        self.max_device_batch = max_device_batch * self._n_mesh
+        self.compute_dtype = compute_dtype
+
+        def _prep(tree):
+            if tree is None:
+                return None
+            if compute_dtype is not None:
+                tree = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                    tree)
+            # device_put once: params passed as numpy would otherwise be
+            # re-uploaded host->device on EVERY call (catastrophic through
+            # a tunneled backend — observed 9 s/call for RMVPE's ~300 MB)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                return jax.device_put(
+                    tree, NamedSharding(mesh, P()))
+            return jax.device_put(tree)
+
+        self.synth_params = _prep(synth_params)
         self.cfg = model_cfg
-        self.hubert_params = jax.device_put(hubert_params)
+        self.hubert_params = _prep(hubert_params)
         self.version = version
-        self.rmvpe_params = (jax.device_put(rmvpe_params)
-                             if rmvpe_params is not None else None)
-        self.index_vectors = (jax.device_put(jnp.asarray(index_vectors))
+        self.rmvpe_params = _prep(rmvpe_params)
+        self.index_vectors = (_prep(jnp.asarray(index_vectors))
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
 
@@ -140,9 +171,13 @@ class ConvertPipeline:
         key = ("feat", use_index)
         if key not in self._step_cache:
             version = self.version
+            cdtype = self.compute_dtype
 
             def feat_fn(hubert_params, index_vectors, audio, lengths,
                         index_rate):
+                if cdtype is not None:
+                    audio = audio.astype(cdtype)
+                    index_rate = index_rate.astype(cdtype)
                 feats, _ = hubert_mod.extract_features(
                     hubert_params, audio, lengths,
                     output_layer=12 if version == "v2" else 9)
@@ -160,27 +195,31 @@ class ConvertPipeline:
         key = ("synth",)
         if key not in self._step_cache:
             cfg = self.cfg
+            cdtype = self.compute_dtype or jnp.float32
 
             def synth_fn(synth_params, feats, feats0, f0, lengths, sid,
                          protect, rng):
                 b = feats.shape[0]
                 p_len = feats.shape[1]
-                pitchf = f0[:, :p_len]
+                pitchf = f0[:, :p_len]                        # fp32 Hz
                 pitch = coarse_f0(pitchf)
                 # protect: restore original feats on unvoiced frames
                 # (reference convert.py:372-378)
                 pitchff = jnp.where(pitchf > 0, 1.0, protect)[:, :, None]
                 feats = jnp.where(protect < 0.5,
-                                  feats * pitchff + feats0 * (1.0 - pitchff),
+                                  feats * pitchff.astype(feats.dtype)
+                                  + feats0 * (1.0 - pitchff).astype(feats.dtype),
                                   feats)
                 frame_lengths = jnp.minimum(lengths // WINDOW, p_len)
                 k1, k2 = jax.random.split(rng)
-                z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels))
-                sine_noise = jax.random.normal(k2, (b, p_len * cfg.upp, 1))
+                z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels),
+                                            cdtype)
+                sine_noise = jax.random.normal(k2, (b, p_len * cfg.upp, 1),
+                                               cdtype)
                 wav, _, _ = syn.infer(synth_params, cfg, feats, frame_lengths,
                                       pitch if cfg.use_f0 else None, pitchf,
                                       sid, z_noise, sine_noise)
-                return wav[:, :, 0], pitchf
+                return wav[:, :, 0].astype(jnp.float32), pitchf
 
             self._step_cache[key] = jax.jit(synth_fn)
         return self._step_cache[key]
@@ -268,6 +307,12 @@ class ConvertPipeline:
         b, L = audio_batch.shape
         audio = jnp.asarray(audio_batch, jnp.float32)
         lengths_d = jnp.asarray(lengths, jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(self.mesh, P("data"))
+            audio = jax.device_put(audio, bsh)
+            lengths_d = jax.device_put(lengths_d, bsh)
         dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
                                 jnp.float32)
 

@@ -1,0 +1,46 @@
+"""bf16 fast mode sanity: output stays close to the fp32 path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rvc_maker_tpu.config import ModelConfig
+from rvc_maker_tpu.models import hubert as hubert_mod
+from rvc_maker_tpu.models import synthesizer as syn
+from rvc_maker_tpu.pipelines.convert import ConvertPipeline, ConvertSettings
+
+CFG_M = ModelConfig(
+    spec_channels=129, segment_size=8, inter_channels=32, hidden_channels=32,
+    filter_channels=64, n_heads=2, n_layers=1, kernel_size=3,
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    upsample_rates=(4, 4, 2, 2), upsample_initial_channel=32,
+    upsample_kernel_sizes=(8, 8, 4, 4), spk_embed_dim=4, gin_channels=16,
+    sr=6400, use_f0=True, text_enc_hidden_dim=768)
+
+
+def test_bf16_close_to_fp32():
+    synth_params = syn.init_params(jax.random.PRNGKey(0), CFG_M)
+    hubert_params = hubert_mod.init_params(jax.random.PRNGKey(1), n_layers=2)
+    rs = np.random.RandomState(0)
+    t = np.arange(32000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    lengths = np.asarray([32000])
+    settings = ConvertSettings(f0_method="yin", index_rate=0.0,
+                               deterministic=True)
+
+    pipe32 = ConvertPipeline(synth_params, CFG_M, hubert_params, version="v2")
+    pipe16 = ConvertPipeline(synth_params, CFG_M, hubert_params, version="v2",
+                             compute_dtype=jnp.bfloat16)
+    wav32, pf32 = pipe32.convert_batch(audio, lengths, 0, settings)
+    wav16, pf16 = pipe16.convert_batch(audio, lengths, 0, settings)
+    wav32, wav16 = np.asarray(wav32[0]), np.asarray(wav16[0])
+    assert wav16.dtype == np.float32  # cast back at the boundary
+    # f0 path is fp32 in both modes -> identical
+    np.testing.assert_allclose(np.asarray(pf16), np.asarray(pf32),
+                               rtol=1e-5, atol=1e-4)
+    # waveforms correlate strongly (bf16 mantissa = ~3 decimal digits)
+    denom = np.linalg.norm(wav32) * np.linalg.norm(wav16) + 1e-9
+    corr = float(np.dot(wav32, wav16) / denom)
+    assert corr > 0.98, corr
+    assert np.max(np.abs(wav16 - wav32)) < 0.1
