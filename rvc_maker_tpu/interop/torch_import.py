@@ -174,7 +174,19 @@ def synthesizer_params_from_state_dict(sd: Mapping[str, Any],
             "proj": conv1x1_as_linear(sd, "enc_q.proj"),
         }
 
-    # --- dec (NSF-HiFiGAN) ----------------------------------------------
+    # --- dec (vocoder dispatch) -----------------------------------------
+    if cfg.vocoder in ("MRF HiFi-GAN", "MRF-HiFi-GAN"):
+        from ..models.vocoders import mrf_params_from_state_dict
+
+        params["dec"] = mrf_params_from_state_dict(sd, cfg)
+        return params
+    if cfg.vocoder == "RefineGAN":
+        from ..models.vocoders import refinegan_params_from_state_dict
+
+        params["dec"] = refinegan_params_from_state_dict(sd, cfg)
+        return params
+
+    # --- dec (NSF-HiFiGAN, the default) ---------------------------------
     n_up = len(cfg.upsample_rates)
     nk = len(cfg.resblock_kernel_sizes)
     dec = {

@@ -344,6 +344,53 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise):
 # Full synthesizer
 # ---------------------------------------------------------------------------
 
+def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
+              nsff0, sid, rng):
+    """Inference with decoder dispatch on cfg.vocoder (Default NSF /
+    MRF HiFi-GAN / RefineGAN), PRNG-driven noise (production mode).
+
+    Returns waveform (B, T*upp, 1)."""
+    b, t = nsff0.shape
+    k_z, k_src, k_ini, k_adain = jax.random.split(rng, 4)
+    g = embedding(params["emb_g"]["w"], sid)[:, None, :]
+    m_p, logs_p, x_mask = text_encoder(params["enc_p"], cfg, phone, pitch,
+                                       phone_lengths)
+    z_noise = jax.random.normal(k_z, m_p.shape, m_p.dtype)
+    z_p = (m_p + jnp.exp(logs_p) * z_noise * 0.66666) * x_mask
+    z = flow(params["flow"], z_p, x_mask, g, reverse=True) * x_mask
+
+    voc_name = cfg.vocoder
+    if voc_name in ("MRF HiFi-GAN", "MRF-HiFi-GAN"):
+        from . import vocoders as voc
+
+        noise = jax.random.normal(k_src, (b, t * cfg.upp, 9), z.dtype)
+        rand_ini = jax.random.uniform(k_ini, (b, 9)).at[:, 0].set(0.0)
+        return voc.mrf_hifigan(params["dec"], cfg, z, nsff0, g, noise,
+                               rand_ini)
+    if voc_name == "RefineGAN":
+        from . import vocoders as voc
+
+        noise = jax.random.normal(k_src, (b, t * cfg.upp, 1), z.dtype)
+        rand_ini = jax.random.uniform(k_ini, (b, 1)).at[:, 0].set(0.0)
+        adain_noises = []
+        ch = cfg.upsample_initial_channel
+        t_cur = t
+        keys = jax.random.split(k_adain, 6 * len(cfg.upsample_rates))
+        ki = iter(keys)
+        for rate in cfg.upsample_rates:
+            ch = ch // 2
+            t_cur = t_cur * rate
+            stage = []
+            for _ in range(3):
+                stage.append((jax.random.normal(next(ki), (b, t_cur, ch), z.dtype),
+                              jax.random.normal(next(ki), (b, t_cur, ch), z.dtype)))
+            adain_noises.append(stage)
+        return voc.refinegan(params["dec"], cfg, z, nsff0, g, noise,
+                             adain_noises, rand_ini)
+    sine_noise = jax.random.normal(k_src, (b, t * cfg.upp, 1), z.dtype)
+    return generator_nsf(params["dec"], cfg, z, nsff0, g, sine_noise)
+
+
 def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
           nsff0, sid, z_noise, sine_noise):
     """Inference path (reference synthesizers.py:446-465).

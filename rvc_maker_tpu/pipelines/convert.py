@@ -211,6 +211,12 @@ class ConvertPipeline:
                                   + feats0 * (1.0 - pitchff).astype(feats.dtype),
                                   feats)
                 frame_lengths = jnp.minimum(lengths // WINDOW, p_len)
+                if cfg.vocoder != "Default":
+                    wav = syn.infer_any(synth_params, cfg, feats,
+                                        frame_lengths,
+                                        pitch if cfg.use_f0 else None,
+                                        pitchf, sid, rng)
+                    return wav[:, :, 0].astype(jnp.float32), pitchf
                 k1, k2 = jax.random.split(rng)
                 z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels),
                                             cdtype)
