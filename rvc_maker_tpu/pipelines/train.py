@@ -95,28 +95,36 @@ class Batch:
     sid: Any            # (B,)
 
 
-def make_train_step(cfg: RVCConfig, disc_width_div: int = 1):
+def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
+                    remat: bool = False):
     """Returns jittable train_step(state, batch, rng) -> (state, metrics).
 
     disc_width_div shrinks discriminator channels for dry runs/tests
-    (1 == reference architecture)."""
+    (1 == reference architecture).  remat=True rematerializes the
+    generator forward and discriminator applications during backprop
+    (jax.checkpoint — the reference's torch.utils.checkpoint equivalent,
+    train.py:619-623; trades FLOPs for HBM on long segments)."""
     mcfg = cfg.model
     dcfg = cfg.data
     seg_frames = cfg.train.segment_size // dcfg.hop_length
     periods = disc.PERIODS_V2 if cfg.version == "v2" else disc.PERIODS_V1
     opt = make_optimizer(cfg)
 
-    def forward_g(params_g, batch: Batch, rng):
+    def _forward_g_raw(params_g, batch: Batch, rng):
         y_hat, ids_slice, x_mask, y_mask, latents = syn.train_forward(
             params_g, mcfg, batch.phone, batch.phone_lengths,
             batch.pitch if mcfg.use_f0 else None, batch.pitchf,
             batch.spec, batch.spec_lengths, batch.sid, rng)
         return y_hat, ids_slice, y_mask, latents
 
+    forward_g = jax.checkpoint(_forward_g_raw) if remat else _forward_g_raw
+    mpd = (jax.checkpoint(disc.mpd_apply, static_argnums=(3, 4))
+           if remat else disc.mpd_apply)
+
     def d_loss_fn(params_d, wave_slice, y_hat):
-        y_d_r, y_d_g, _, _ = disc.mpd_apply(params_d, wave_slice,
-                                            jax.lax.stop_gradient(y_hat),
-                                            periods, disc_width_div)
+        y_d_r, y_d_g, _, _ = mpd(params_d, wave_slice,
+                                 jax.lax.stop_gradient(y_hat),
+                                 periods, disc_width_div)
         loss_d, r_losses, g_losses = disc.discriminator_loss(y_d_r, y_d_g)
         return loss_d, (r_losses, g_losses)
 
@@ -137,9 +145,8 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1):
         wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
                                     cfg.train.segment_size)
 
-        y_d_r, y_d_g, fmap_r, fmap_g = disc.mpd_apply(params_d, wave_slice,
-                                                      y_hat, periods,
-                                                      disc_width_div)
+        y_d_r, y_d_g, fmap_r, fmap_g = mpd(params_d, wave_slice, y_hat,
+                                           periods, disc_width_div)
         loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
         loss_kl = disc.kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
         loss_fm = disc.feature_loss(fmap_r, fmap_g)
@@ -195,12 +202,13 @@ def _with_lr(opt_state, lr):
 # sharded training (data-parallel over a mesh)
 # ---------------------------------------------------------------------------
 
-def make_sharded_train_step(cfg: RVCConfig, mesh, disc_width_div: int = 1):
+def make_sharded_train_step(cfg: RVCConfig, mesh, disc_width_div: int = 1,
+                            remat: bool = False):
     """jit the train step with batch sharded over 'data', params/opt
     replicated. XLA inserts the grad all-reduce (SURVEY.md §2.8)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step = make_train_step(cfg, disc_width_div)
+    step = make_train_step(cfg, disc_width_div, remat)
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 

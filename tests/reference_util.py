@@ -16,7 +16,12 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def _install_shims():
-    """Stub out reference deps absent from this image (omegaconf)."""
+    """Stub out reference deps absent from this image (omegaconf, librosa).
+
+    The librosa shim provides exactly the two entry points reference
+    modules import at module scope: filters.mel (backed by our own
+    filterbank construction) and a `sequence` namespace.
+    """
     import types
 
     if "omegaconf" not in sys.modules:
@@ -32,6 +37,22 @@ def _install_shims():
         om.DictConfig = DictConfig
         om.open_dict = open_dict
         sys.modules["omegaconf"] = om
+
+    if "librosa" not in sys.modules:
+        from rvc_maker_tpu.ops.stft import mel_filterbank
+
+        lib = types.ModuleType("librosa")
+        filters = types.ModuleType("librosa.filters")
+
+        def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, htk=False):
+            return mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk)
+
+        filters.mel = mel
+        lib.filters = filters
+        lib.sequence = types.ModuleType("librosa.sequence")
+        sys.modules["librosa"] = lib
+        sys.modules["librosa.filters"] = filters
+        sys.modules["librosa.sequence"] = lib.sequence
 
 
 def ref_module(name: str):

@@ -13,14 +13,7 @@ from reference_util import ref_module
 
 @pytest.fixture(scope="module")
 def ref_and_params():
-    # reference CREPE imports librosa at module scope — shim it first
-    import sys
-    import types
-    if "librosa" not in sys.modules:
-        lib = types.ModuleType("librosa")
-        lib.sequence = types.ModuleType("librosa.sequence")
-        sys.modules["librosa"] = lib
-        sys.modules["librosa.sequence"] = lib.sequence
+    # librosa shim installed by reference_util._install_shims via ref_module
     mod = ref_module("main.library.predictors.CREPE")
     torch.manual_seed(11)
     net = mod.Crepe("tiny")

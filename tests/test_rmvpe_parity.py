@@ -22,24 +22,10 @@ from rvc_maker_tpu.ops.stft import mel_filterbank, rmvpe_mel
 from reference_util import ref_module
 
 
-def _install_librosa_shim():
-    if "librosa" in sys.modules:
-        return
-    lib = types.ModuleType("librosa")
-    filters = types.ModuleType("librosa.filters")
-
-    def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, htk=False):
-        return mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk)
-
-    filters.mel = mel
-    lib.filters = filters
-    sys.modules["librosa"] = lib
-    sys.modules["librosa.filters"] = filters
-
-
 @pytest.fixture(scope="module")
 def ref_mod():
-    _install_librosa_shim()
+    # librosa shim (filters.mel backed by our filterbank) installed by
+    # reference_util._install_shims via ref_module
     return ref_module("main.library.predictors.RMVPE")
 
 

@@ -89,3 +89,19 @@ def test_sharded_step_matches_single_device(state):
     l2 = jax.tree_util.tree_leaves(sh_state.params_g)[0]
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_remat_step_matches_plain(state):
+    """jax.checkpoint rematerialization must not change the numerics."""
+    batch = _batch(b=2, seed=5)
+    rng = jax.random.PRNGKey(11)
+    plain = jax.jit(train_mod.make_train_step(CFG, disc_width_div=16))
+    rem = jax.jit(train_mod.make_train_step(CFG, disc_width_div=16, remat=True))
+    s1, m1 = plain(state, batch, rng)
+    s2, m2 = rem(state, batch, rng)
+    np.testing.assert_allclose(float(m2["loss_g"]), float(m1["loss_g"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params_g)[0]
+    l2 = jax.tree_util.tree_leaves(s2.params_g)[0]
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-3,
+                               atol=1e-6)
