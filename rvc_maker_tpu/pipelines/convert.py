@@ -33,6 +33,7 @@ from scipy import signal as sp_signal
 from ..config import ModelConfig
 from ..f0.common import autotune_f0, coarse_f0, shift_f0
 from ..f0.yin import yin
+from ..models import fcpe as fcpe_mod
 from ..models import hubert as hubert_mod
 from ..models import rmvpe as rmvpe_mod
 from ..models import synthesizer as syn
@@ -79,7 +80,7 @@ class ConvertPipeline:
 
     def __init__(self, synth_params: Any, model_cfg: ModelConfig,
                  hubert_params: Any, version: str = "v2",
-                 rmvpe_params: Any = None,
+                 rmvpe_params: Any = None, fcpe_params: Any = None,
                  index_vectors: Optional[np.ndarray] = None,
                  rmvpe_microbatch: int = 8, max_device_batch: int = 8,
                  compute_dtype=None, mesh=None):
@@ -124,6 +125,7 @@ class ConvertPipeline:
         self.hubert_params = _prep(hubert_params)
         self.version = version
         self.rmvpe_params = _prep(rmvpe_params)
+        self.fcpe_params = _prep(fcpe_params)
         self.index_vectors = (_prep(jnp.asarray(index_vectors))
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
@@ -154,6 +156,16 @@ class ConvertPipeline:
                         ).reshape(b, -1)
                     else:
                         f0 = rmvpe_mod.infer(rmvpe_params, audio)
+                    f0 = shift_f0(f0, pitch_shift)
+                    return jnp.where(autotune_strength > 0,
+                                     autotune_f0(f0, autotune_strength), f0)
+            elif f0_method in ("fcpe", "fcpe-legacy"):
+                fcpe_params = self.fcpe_params
+
+                def f0_fn(_rmvpe_params, audio, pitch_shift, autotune_strength):
+                    p_len = audio.shape[1] // WINDOW + 1
+                    f0 = fcpe_mod.infer(fcpe_params, audio, threshold=0.03,
+                                        p_len=p_len)
                     f0 = shift_f0(f0, pitch_shift)
                     return jnp.where(autotune_strength > 0,
                                      autotune_f0(f0, autotune_strength), f0)
@@ -322,7 +334,7 @@ class ConvertPipeline:
         dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
                                 jnp.float32)
 
-        if settings.f0_method in ("rmvpe", "yin"):
+        if settings.f0_method in ("rmvpe", "yin", "fcpe", "fcpe-legacy"):
             f0 = self._stage_f0(settings.f0_method)(
                 self.rmvpe_params, audio, jnp.float32(settings.pitch),
                 jnp.float32(settings.f0_autotune_strength
