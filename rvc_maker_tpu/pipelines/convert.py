@@ -275,6 +275,11 @@ class ConvertPipeline:
                     from ..f0.swipe import swipe as swipe_fn
                     f0, _ = swipe_fn(audio_batch[i], SAMPLE_RATE,
                                      f0_floor=50.0, f0_ceil=1100.0)
+                elif m == "pm":
+                    from ..f0.praat_ac import praat_ac
+                    f0 = praat_ac(audio_batch[i], SAMPLE_RATE,
+                                  f0_floor=50.0, f0_ceil=1100.0,
+                                  voicing_threshold=0.6)
                 elif m in ("rmvpe", "yin"):
                     f0 = np.asarray(self._stage_f0(m)(
                         self.rmvpe_params, jnp.asarray(audio_batch[i : i + 1]),
