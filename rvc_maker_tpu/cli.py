@@ -146,7 +146,12 @@ def cmd_convert(args):
     peak = np.abs(audio).max() / 0.95
     if peak > 1:
         audio = audio / peak
-    out = pipe.convert_utterance(audio, args.sid, settings)
+    if args.split_audio:
+        from .pipelines.convert import convert_split
+
+        out = convert_split(pipe, audio, args.sid, settings)
+    else:
+        out = pipe.convert_utterance(audio, args.sid, settings)
     out_sr = args.resample_sr if args.resample_sr else cfg.sr
     save_wav(args.output, out, out_sr)
     print(f"convert: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
@@ -251,6 +256,7 @@ def build_parser():
     sc.add_argument("--resample-sr", type=int, default=0)
     sc.add_argument("--embedder-path", default="")
     sc.add_argument("--rmvpe-path", default="")
+    sc.add_argument("--split-audio", action="store_true")
     sc.set_defaults(func=cmd_convert)
 
     sx = sub.add_parser("effects")

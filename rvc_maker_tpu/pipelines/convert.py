@@ -425,6 +425,28 @@ class ConvertPipeline:
         return out.astype(np.float32)
 
 
+SPLIT_DB_THRESH = -60
+SPLIT_MIN_INTERVAL_MS = 500
+
+
+def convert_split(pipe: "ConvertPipeline", audio16k: np.ndarray, sid: int,
+                  settings: ConvertSettings) -> np.ndarray:
+    """split_audio mode (reference convert.py:497-510): silence-cut the
+    utterance, convert each voiced chunk, reassemble at scaled positions
+    with silence in the gaps."""
+    from .preprocess import cut_with_positions, restore_positions
+
+    chunks = cut_with_positions(audio16k, SAMPLE_RATE,
+                                db_thresh=SPLIT_DB_THRESH,
+                                min_interval_ms=SPLIT_MIN_INTERVAL_MS)
+    scale = pipe.cfg.sr / SAMPLE_RATE
+    converted = []
+    for chunk, start, end in chunks:
+        out = pipe.convert_utterance(chunk, sid, settings)
+        converted.append((int(start * scale), int(start * scale) + len(out), out))
+    return restore_positions(converted, int(len(audio16k) * scale))
+
+
 def _frame_rms(x: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
     """Center-padded frame RMS (librosa.feature.rms numerics)."""
     pad = frame_length // 2

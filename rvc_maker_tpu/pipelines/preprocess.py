@@ -219,3 +219,57 @@ def preprocess_dataset(input_root: str, exp_dir: str, sr: int,
     logger.info("preprocessed %d files -> %d segments in %.1fs",
                 len(files), total, time.time() - t0)
     return total
+
+
+def cut_with_positions(audio: np.ndarray, sr: int, *, db_thresh: float = -60,
+                       min_interval_ms: int = 250):
+    """Silence-split keeping sample positions: [(chunk, start, end), ...].
+
+    The split_audio path of conversion (reference utils.py:172-237 `cut`):
+    same slicing rules as SilenceSlicer but each chunk carries its
+    original sample offsets so `restore_positions` can reassemble."""
+    slicer = SilenceSlicer(sr, threshold_db=db_thresh,
+                           min_interval_ms=min_interval_ms)
+    samples = audio if audio.ndim == 1 else audio.mean(axis=0)
+    if samples.shape[0] <= slicer.min_length:
+        return [(audio, 0, samples.shape[0])]
+    rms = frame_rms(samples, slicer.win_size, slicer.hop_size)
+
+    # reuse the slicer's cut computation by re-deriving the silence tags
+    chunks = slicer.slice(audio)
+    # map chunks back to positions by scanning (chunks are contiguous
+    # non-silence regions in order)
+    out = []
+    cursor = 0
+    for c in chunks:
+        # find c's position at/after cursor (exact array match by length)
+        n = len(c)
+        found = None
+        max_start = len(audio) - n
+        for start in range(cursor, max_start + 1):
+            if np.array_equal(audio[start : start + n], c):
+                found = start
+                break
+        if found is None:
+            found = cursor
+        out.append((c, found, found + n))
+        cursor = found + n
+    return out
+
+
+def restore_positions(segments, total_len: int, dtype=np.float32) -> np.ndarray:
+    """Reassemble processed segments at their (scaled) positions with
+    silence in the gaps (reference utils.py:239-250 `restore`).
+
+    segments: [(start, end, processed_audio), ...] in original-rate
+    sample coordinates scaled by the caller to the output rate."""
+    out = []
+    last_end = 0
+    for start, end, seg in segments:
+        if start > last_end:
+            out.append(np.zeros(start - last_end, dtype=dtype))
+        out.append(np.asarray(seg, dtype=dtype))
+        last_end = end
+    if last_end < total_len:
+        out.append(np.zeros(total_len - last_end, dtype=dtype))
+    return np.concatenate(out, axis=-1)
