@@ -1,0 +1,325 @@
+"""Whisper speech recognition in JAX — encoder/decoder + greedy transcribe.
+
+Re-implements the reference's vendored Whisper
+(main/library/speaker_diarization/whisper.py) for the diarized-conversion
+flow: log-mel front-end ((x+4)/4-normalized log10 mel power), conv stem +
+sinusoidal-position transformer encoder, token/learned-position decoder
+with causal self-attention and cross-attention, tied output embedding.
+
+TPU-first decoding: one jitted single-token step with a static-shape KV
+cache updated via dynamic_update_slice; cross-attention K/V precomputed
+once per 30 s window.  Word-level DTW alignment (reference
+find_alignment) is round-2; segment-level timestamps come from the
+timestamp tokens, which is what diarization consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nn import conv1d, layer_norm, linear
+from ..ops.stft import hann_window, mel_filterbank, stft_magnitude
+
+Params = Any
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_LENGTH = 30
+N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE
+N_FRAMES = N_SAMPLES // HOP_LENGTH
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperDims:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 512
+    n_audio_head: int = 8
+    n_audio_layer: int = 6
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 512
+    n_text_head: int = 8
+    n_text_layer: int = 6
+
+
+def log_mel(audio, n_mels: int = 80):
+    """(B, L) -> (B, n_mels, L//160) whisper-normalized log-mel
+    (reference whisper.py:267-277; torch.stft center=True, last frame
+    dropped, power spectrum, log10, max-8 floor, (x+4)/4)."""
+    mag = stft_magnitude(audio, n_fft=N_FFT, hop_length=HOP_LENGTH,
+                         win_length=N_FFT, window=hann_window(N_FFT),
+                         center=True)
+    power = jnp.square(mag[:, :-1, :])                  # drop last frame
+    fb = jnp.asarray(mel_filterbank(SAMPLE_RATE, N_FFT, n_mels, 0.0,
+                                    8000.0, htk=False))
+    mel = jnp.matmul(power, fb.T)                       # (B, T, n_mels)
+    log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
+    floor = jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
+    log_spec = jnp.maximum(log_spec, floor)
+    return ((log_spec + 4.0) / 4.0).transpose(0, 2, 1)  # (B, n_mels, T)
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    inc = -np.log(10000.0) / (channels // 2 - 1)
+    scaled = np.arange(length)[:, None] * np.exp(inc * np.arange(channels // 2))[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _mha(p: Params, x, xa=None, *, n_head: int, causal: bool = False,
+         kv_override=None):
+    """Whisper MultiHeadAttention. kv_override: (k, v) precomputed."""
+    q = linear(x, p["q"]["w"], p["q"]["b"])
+    if kv_override is not None:
+        k, v = kv_override
+    else:
+        src = x if xa is None else xa
+        k = linear(src, p["k"]["w"])                    # no bias
+        v = linear(src, p["v"]["w"], p["v"]["b"])
+    b, t, c = q.shape
+    s = k.shape[1]
+    d = c // n_head
+    qh = q.reshape(b, t, n_head, d).transpose(0, 2, 1, 3) * (d ** -0.5)
+    kh = k.reshape(b, s, n_head, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, n_head, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+    if causal and t > 1:
+        mask = jnp.triu(jnp.full((t, s), -jnp.inf), k=1)
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", w, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+    return linear(out, p["o"]["w"], p["o"]["b"])
+
+
+def _block(p: Params, x, xa=None, *, n_head: int, causal: bool = False,
+           cross_kv=None):
+    y = layer_norm(x, p["attn_ln"]["gamma"], p["attn_ln"]["beta"])
+    x = x + _mha(p["attn"], y, n_head=n_head, causal=causal)
+    if "cross_attn" in p:
+        y = layer_norm(x, p["cross_ln"]["gamma"], p["cross_ln"]["beta"])
+        x = x + _mha(p["cross_attn"], y, xa, n_head=n_head,
+                     kv_override=cross_kv)
+    y = layer_norm(x, p["mlp_ln"]["gamma"], p["mlp_ln"]["beta"])
+    y = linear(jax.nn.gelu(linear(y, p["fc1"]["w"], p["fc1"]["b"]),
+                           approximate=False),
+               p["fc2"]["w"], p["fc2"]["b"])
+    return x + y
+
+
+def encode_audio(params: Params, dims: WhisperDims, mel):
+    """mel: (B, n_mels, T<=3000) -> audio features (B, T//2, n_state)."""
+    x = mel.transpose(0, 2, 1)                          # (B, T, n_mels)
+    x = jax.nn.gelu(conv1d(x, params["conv1"]["w"], params["conv1"]["b"],
+                           padding=1), approximate=False)
+    x = jax.nn.gelu(conv1d(x, params["conv2"]["w"], params["conv2"]["b"],
+                           stride=2, padding=1), approximate=False)
+    x = x + jnp.asarray(params["pos"])[: x.shape[1]]
+    for bp in params["blocks"]:
+        x = _block(bp, x, n_head=dims.n_audio_head)
+    return layer_norm(x, params["ln_post"]["gamma"], params["ln_post"]["beta"])
+
+
+def decode_logits(params: Params, dims: WhisperDims, tokens, audio_features):
+    """Full (non-cached) decoder pass — parity/reference path.
+
+    tokens: (B, T) int32 -> logits (B, T, n_vocab)."""
+    emb = params["tok_emb"]
+    x = emb[tokens] + params["pos_emb"][: tokens.shape[1]]
+    for bp in params["blocks"]:
+        x = _block(bp, x, audio_features, n_head=dims.n_text_head,
+                   causal=True)
+    x = layer_norm(x, params["ln"]["gamma"], params["ln"]["beta"])
+    return jnp.einsum("btc,vc->btv", x, emb)
+
+
+# ---------------------------------------------------------------------------
+# cached greedy decoding
+# ---------------------------------------------------------------------------
+
+class DecodeCache(NamedTuple):
+    self_k: jnp.ndarray   # (n_layer, B, n_ctx, C)
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray  # (n_layer, B, S, C)
+    cross_v: jnp.ndarray
+    index: jnp.ndarray    # () current length
+
+
+def init_cache(params: Params, dims: WhisperDims, audio_features):
+    b = audio_features.shape[0]
+    s = audio_features.shape[1]
+    nl, ctx, c = dims.n_text_layer, dims.n_text_ctx, dims.n_text_state
+    cross_k = jnp.stack([
+        linear(audio_features, bp["cross_attn"]["k"]["w"])
+        for bp in params["blocks"]])
+    cross_v = jnp.stack([
+        linear(audio_features, bp["cross_attn"]["v"]["w"],
+               bp["cross_attn"]["v"]["b"])
+        for bp in params["blocks"]])
+    return DecodeCache(
+        self_k=jnp.zeros((nl, b, ctx, c)), self_v=jnp.zeros((nl, b, ctx, c)),
+        cross_k=cross_k, cross_v=cross_v, index=jnp.zeros((), jnp.int32))
+
+
+def _cached_mha_step(p, x, cache_k, cache_v, index, n_head):
+    """Single-token self-attention against the cache. x: (B, 1, C)."""
+    b, _, c = x.shape
+    d = c // n_head
+    q = linear(x, p["q"]["w"], p["q"]["b"])
+    k_new = linear(x, p["k"]["w"])
+    v_new = linear(x, p["v"]["w"], p["v"]["b"])
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, index, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, index, 0))
+    ctx = cache_k.shape[1]
+    qh = q.reshape(b, 1, n_head, d).transpose(0, 2, 1, 3) * (d ** -0.5)
+    kh = cache_k.reshape(b, ctx, n_head, d).transpose(0, 2, 1, 3)
+    vh = cache_v.reshape(b, ctx, n_head, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+    valid = jnp.arange(ctx)[None, None, None, :] <= index
+    scores = jnp.where(valid, scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", w, vh).transpose(0, 2, 1, 3).reshape(b, 1, c)
+    return linear(out, p["o"]["w"], p["o"]["b"]), cache_k, cache_v
+
+
+@partial(jax.jit, static_argnums=(1,))
+def decode_step(params: Params, dims: WhisperDims, token, cache: DecodeCache):
+    """token: (B,) int32 -> (logits (B, n_vocab), new cache)."""
+    emb = params["tok_emb"]
+    x = emb[token][:, None, :] + jax.lax.dynamic_slice_in_dim(
+        params["pos_emb"], cache.index, 1, axis=0)
+    new_sk, new_sv = [], []
+    for li, bp in enumerate(params["blocks"]):
+        y = layer_norm(x, bp["attn_ln"]["gamma"], bp["attn_ln"]["beta"])
+        attn, ck, cv = _cached_mha_step(bp["attn"], y, cache.self_k[li],
+                                        cache.self_v[li], cache.index,
+                                        dims.n_text_head)
+        new_sk.append(ck)
+        new_sv.append(cv)
+        x = x + attn
+        y = layer_norm(x, bp["cross_ln"]["gamma"], bp["cross_ln"]["beta"])
+        x = x + _mha(bp["cross_attn"], y, None, n_head=dims.n_text_head,
+                     kv_override=(cache.cross_k[li], cache.cross_v[li]))
+        y = layer_norm(x, bp["mlp_ln"]["gamma"], bp["mlp_ln"]["beta"])
+        y = linear(jax.nn.gelu(linear(y, bp["fc1"]["w"], bp["fc1"]["b"]),
+                               approximate=False),
+                   bp["fc2"]["w"], bp["fc2"]["b"])
+        x = x + y
+    x = layer_norm(x, params["ln"]["gamma"], params["ln"]["beta"])
+    logits = jnp.einsum("bc,vc->bv", x[:, 0], emb)
+    new_cache = DecodeCache(self_k=jnp.stack(new_sk), self_v=jnp.stack(new_sv),
+                            cross_k=cache.cross_k, cross_v=cache.cross_v,
+                            index=cache.index + 1)
+    return logits, new_cache
+
+
+def greedy_decode(params: Params, dims: WhisperDims, audio_features,
+                  initial_tokens: list[int], *, eot: int,
+                  max_tokens: int = 224, suppress=None,
+                  timestamp_begin: int | None = None):
+    """Greedy decoding of one window. Returns the generated token list
+    (without the initial prompt, including no eot)."""
+    cache = init_cache(params, dims, audio_features)
+    logits = None
+    for t in initial_tokens:
+        logits, cache = decode_step(
+            params, dims, jnp.full((audio_features.shape[0],), t, jnp.int32),
+            cache)
+    out = []
+    cur = None
+    for _ in range(max_tokens):
+        lg = np.asarray(logits[0])
+        if suppress is not None:
+            lg[suppress] = -np.inf
+        # whisper timestamp sanity: timestamps must be non-decreasing
+        if timestamp_begin is not None and out:
+            last_ts = [tk for tk in out if tk >= timestamp_begin]
+            if last_ts:
+                lg[timestamp_begin : last_ts[-1]] = -np.inf
+        cur = int(np.argmax(lg))
+        if cur == eot:
+            break
+        out.append(cur)
+        logits, cache = decode_step(
+            params, dims, jnp.full((audio_features.shape[0],), cur, jnp.int32),
+            cache)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import
+# ---------------------------------------------------------------------------
+
+def _np(t):
+    a = t.detach().cpu().numpy() if not isinstance(t, np.ndarray) else t
+    return a.astype(np.float32) if a.dtype == np.float16 else a
+
+
+def _lin(sd, prefix):
+    out = {"w": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["b"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {"gamma": _np(sd[f"{prefix}.weight"]), "beta": _np(sd[f"{prefix}.bias"])}
+
+
+def _attn(sd, prefix):
+    return {"q": _lin(sd, f"{prefix}.query"), "k": _lin(sd, f"{prefix}.key"),
+            "v": _lin(sd, f"{prefix}.value"), "o": _lin(sd, f"{prefix}.out")}
+
+
+def _blocks(sd, prefix, n_layer, cross: bool):
+    blocks = []
+    for i in range(n_layer):
+        bp = f"{prefix}.blocks.{i}"
+        d = {
+            "attn": _attn(sd, f"{bp}.attn"),
+            "attn_ln": _ln(sd, f"{bp}.attn_ln"),
+            "fc1": _lin(sd, f"{bp}.mlp.0"),
+            "fc2": _lin(sd, f"{bp}.mlp.2"),
+            "mlp_ln": _ln(sd, f"{bp}.mlp_ln"),
+        }
+        if cross:
+            d["cross_attn"] = _attn(sd, f"{bp}.cross_attn")
+            d["cross_ln"] = _ln(sd, f"{bp}.cross_attn_ln")
+        blocks.append(d)
+    return blocks
+
+
+def params_from_state_dict(sd, dims: WhisperDims):
+    enc = {
+        "conv1": {"w": np.transpose(_np(sd["encoder.conv1.weight"]), (2, 1, 0)),
+                  "b": _np(sd["encoder.conv1.bias"])},
+        "conv2": {"w": np.transpose(_np(sd["encoder.conv2.weight"]), (2, 1, 0)),
+                  "b": _np(sd["encoder.conv2.bias"])},
+        "pos": _sinusoids(dims.n_audio_ctx, dims.n_audio_state),
+        "blocks": _blocks(sd, "encoder", dims.n_audio_layer, cross=False),
+        "ln_post": _ln(sd, "encoder.ln_post"),
+    }
+    dec = {
+        "tok_emb": _np(sd["decoder.token_embedding.weight"]),
+        "pos_emb": _np(sd["decoder.positional_embedding"]),
+        "blocks": _blocks(sd, "decoder", dims.n_text_layer, cross=True),
+        "ln": _ln(sd, "decoder.ln"),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
+def load_whisper_pt(path: str):
+    """Load a whisper checkpoint {dims, model_state_dict} ->
+    (params, WhisperDims)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    dims = WhisperDims(**ckpt["dims"])
+    return params_from_state_dict(ckpt["model_state_dict"], dims), dims

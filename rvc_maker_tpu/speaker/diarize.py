@@ -5,10 +5,9 @@ the audio, each segment gets an ECAPA embedding, AgglomerativeClustering
 groups segments into num_speakers, and segments are converted with
 alternating RVC models, then merged with silence padding.
 
-Round-1 scope: the ECAPA embedder (models/ecapa_tdnn.py, parity-tested)
-+ clustering + dual-model conversion are implemented; segmentation uses
-an energy-based VAD until the Whisper port lands (the reference's
-Whisper is a vendored torch model whose weights are download-only).
+Segmentation sources: Whisper transcription segments (models/whisper.py
++ speaker/transcribe.py) when a whisper checkpoint is provided, else the
+energy-based VAD fallback.
 """
 
 from __future__ import annotations
@@ -102,18 +101,33 @@ def cluster_speakers(audio: np.ndarray, segments: Sequence[tuple[int, int]],
     return AgglomerativeClustering(n_clusters=num_speakers).fit_predict(embs)
 
 
+def whisper_segments(audio_16k: np.ndarray, whisper_params: Any,
+                     whisper_dims: Any, tokenizer: Any) -> list[tuple[int, int]]:
+    """Word/segment boundaries from Whisper transcription (reference
+    convert_with_whisper uses whisper segments as diarization units)."""
+    from .transcribe import segments_to_sample_ranges, transcribe
+
+    segs = transcribe(whisper_params, whisper_dims, tokenizer, audio_16k)
+    return segments_to_sample_ranges(segs)
+
+
 def convert_with_diarization(audio_16k: np.ndarray, pipelines: Sequence[Any],
                              settings_list: Sequence[Any],
                              ecapa_params: Any,
                              sids: Optional[Sequence[int]] = None,
-                             segments: Optional[Sequence[tuple[int, int]]] = None):
+                             segments: Optional[Sequence[tuple[int, int]]] = None,
+                             whisper=None):
     """Convert each diarized segment with the pipeline assigned to its
     speaker cluster; unvoiced gaps stay silent (reference merge semantics:
     silence-padded concatenation, app.py:1130-1160).
 
     pipelines/settings_list: one per speaker (cycled if fewer than
-    clusters). Returns waveform at pipelines[0].cfg.sr.
+    clusters).  whisper: optional (params, dims, tokenizer) triple — when
+    given, segmentation comes from Whisper transcription instead of
+    energy VAD.  Returns waveform at pipelines[0].cfg.sr.
     """
+    if segments is None and whisper is not None:
+        segments = whisper_segments(audio_16k, *whisper)
     if segments is None:
         segments = energy_vad_segments(audio_16k)
     if not segments:
