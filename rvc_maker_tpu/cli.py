@@ -99,7 +99,8 @@ def cmd_train(args):
     cfg = preset(args.version, args.sample_rate)
     train(args.exp_dir, cfg, total_epochs=args.epochs,
           batch_size=args.batch_size, save_every_epoch=args.save_every_epoch,
-          save_only_latest=not args.save_all)
+          save_only_latest=not args.save_all, pretrain_g=args.pretrain_g,
+          pretrain_d=args.pretrain_d)
     print("train: done")
 
 
@@ -238,6 +239,8 @@ def build_parser():
     st.add_argument("--batch-size", type=int, default=8)
     st.add_argument("--save-every-epoch", type=int, default=5)
     st.add_argument("--save-all", action="store_true")
+    st.add_argument("--pretrain-g", default="")
+    st.add_argument("--pretrain-d", default="")
     st.set_defaults(func=cmd_train)
 
     sc = sub.add_parser("convert")

@@ -228,3 +228,66 @@ def load_synthesizer_pth(path: str):
     params = synthesizer_params_from_state_dict(sd, cfg)
     meta = {k: v for k, v in cpt.items() if k != "weight"}
     return params, cfg, meta
+
+
+# ---------------------------------------------------------------------------
+# training-side importers (pretrained G/D init — reference train.py:778-794)
+# ---------------------------------------------------------------------------
+
+def _wn_pair(sd, prefix):
+    """Return live (g, v, b) for a weight-normed conv, layout-transposed.
+
+    Training keeps the weight-norm parametrization (it shapes optimizer
+    dynamics), so g/v import unfolded: torch g (Cout,1,..) -> ours
+    (1,..,Cout); v transposed like a plain kernel."""
+    if f"{prefix}.weight_g" in sd:
+        g = _to_numpy(sd[f"{prefix}.weight_g"])
+        v = _to_numpy(sd[f"{prefix}.weight_v"])
+    else:
+        g = _to_numpy(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _to_numpy(sd[f"{prefix}.parametrizations.weight.original1"])
+    if v.ndim == 3:      # Conv1d (Cout, Cin, K)
+        v_t = np.transpose(v, (2, 1, 0))
+        g_t = np.transpose(g, (2, 1, 0))
+    else:                # Conv2d (Cout, Cin, Kh, Kw)
+        v_t = np.transpose(v, (2, 3, 1, 0))
+        g_t = np.transpose(g, (2, 3, 1, 0))
+    out = {"g": g_t.astype(np.float32), "v": v_t.astype(np.float32)}
+    b = _bias(sd, prefix)
+    if b is not None:
+        out["b"] = b
+    return out
+
+
+def discriminator_params_from_state_dict(sd, version: str = "v2"):
+    """Map a reference MultiPeriodDiscriminator state dict (training
+    checkpoint 'model' entry) to our live-weight-norm tree."""
+    from ..models.discriminator import PERIODS_V1, PERIODS_V2
+
+    periods = PERIODS_V2 if version == "v2" else PERIODS_V1
+    s_convs = [_wn_pair(sd, f"discriminators.0.convs.{j}") for j in range(6)]
+    s_post = _wn_pair(sd, "discriminators.0.conv_post")
+    p_list = []
+    for i in range(1, len(periods) + 1):
+        convs = [_wn_pair(sd, f"discriminators.{i}.convs.{j}") for j in range(5)]
+        post = _wn_pair(sd, f"discriminators.{i}.conv_post")
+        p_list.append({"convs": convs, "post": post})
+    return {"s": {"convs": s_convs, "post": s_post}, "p": p_list}
+
+
+def load_pretrained_g(path: str, cfg):
+    """Load a training checkpoint G_*.pth / pretrained G (with enc_q) as
+    generator init."""
+    import torch
+
+    cpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = cpt["model"] if "model" in cpt else cpt["weight"]
+    return synthesizer_params_from_state_dict(sd, cfg)
+
+
+def load_pretrained_d(path: str, version: str = "v2"):
+    import torch
+
+    cpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = cpt["model"] if "model" in cpt else cpt["weight"]
+    return discriminator_params_from_state_dict(sd, version)

@@ -72,8 +72,13 @@ class OvertrainingDetector:
 def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
           batch_size: int = 8, save_every_epoch: int = 5,
           save_only_latest: bool = True, mesh=None,
-          log_writer=None) -> train_mod.TrainState:
-    """Run training from the experiment dir (expects filelist.txt)."""
+          log_writer=None, pretrain_g: str = "",
+          pretrain_d: str = "") -> train_mod.TrainState:
+    """Run training from the experiment dir (expects filelist.txt).
+
+    pretrain_g/pretrain_d: optional reference-format pretrained
+    checkpoints used as initialization when no resume checkpoint exists
+    (reference train.py:778-794)."""
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(np.prod([d for d in mesh.devices.shape]))
@@ -95,6 +100,19 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     state = train_mod.init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     start_epoch = 1
     latest = os.path.join(exp_dir, "ckpt_latest")
+    if not os.path.isdir(latest):
+        if pretrain_g:
+            from ..interop.torch_import import load_pretrained_g
+
+            logger.info("initializing G from %s", pretrain_g)
+            state = state._replace(
+                params_g=load_pretrained_g(pretrain_g, cfg.model))
+        if pretrain_d:
+            from ..interop.torch_import import load_pretrained_d
+
+            logger.info("initializing D from %s", pretrain_d)
+            state = state._replace(
+                params_d=load_pretrained_d(pretrain_d, cfg.version))
     if os.path.isdir(latest):
         state = load_checkpoint(latest, state)
         start_epoch = int(np.asarray(state.step)) // max(len(dataset) // max(batch_size, 1), 1) + 1
