@@ -27,6 +27,8 @@ logger = logging.getLogger(__name__)
 
 _STATE: dict = {"pipeline": None, "pipeline_key": None}
 _LOCK = threading.Lock()
+_JOBS: dict = {}          # id -> {"thread", "log", "done", "error"}
+_JOBS_LOCK = threading.Lock()
 
 INDEX_HTML = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>rvc_maker_tpu</title>
@@ -57,6 +59,33 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Model path</label><input id="i_model" size="40">
  <button onclick="info()">Read</button>
  <pre id="i_out"></pre>
+</fieldset>
+<fieldset><legend><b>Audio effects</b></legend>
+ <label>Audio (wav)</label><input type="file" id="e_audio"><br>
+ <label>Reverb</label><input id="e_reverb" type="checkbox">
+ <label>room size</label><input id="e_room" type="number" step="0.05" value="0.5"><br>
+ <label>Pitch shift (semitones)</label><input id="e_pitch" type="number" value="0"><br>
+ <label>Chorus</label><input id="e_chorus" type="checkbox">
+ <label>Delay</label><input id="e_delay" type="checkbox">
+ <label>Compressor</label><input id="e_comp" type="checkbox">
+ <label>Gain (dB)</label><input id="e_gain" type="number" value="0"><br>
+ <button onclick="effects()">Apply</button>
+ <div id="e_out"></div>
+</fieldset>
+<fieldset><legend><b>Training</b></legend>
+ <label>Experiment dir</label><input id="t_exp" size="40"><br>
+ <label>Dataset dir</label><input id="t_data" size="40"><br>
+ <label>Sample rate</label><select id="t_sr"><option>48000</option>
+   <option>40000</option><option selected>32000</option></select>
+ <label>Version</label><select id="t_ver"><option selected>v2</option><option>v1</option></select><br>
+ <label>Embedder (.pt)</label><input id="t_emb" size="40"><br>
+ <label>Epochs</label><input id="t_epochs" type="number" value="100">
+ <label>Batch size</label><input id="t_bs" type="number" value="8"><br>
+ <button onclick="job('preprocess')">1. Preprocess</button>
+ <button onclick="job('extract')">2. Extract</button>
+ <button onclick="job('train')">3. Train</button>
+ <button onclick="jobStatus()">Status</button>
+ <pre id="t_out"></pre>
 </fieldset>
 <fieldset><legend><b>Model fusion</b></legend>
  <label>Model A</label><input id="f_a" size="40"><br>
@@ -95,6 +124,43 @@ async function convert(){
     const div = document.getElementById('c_out');
     div.innerHTML = '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>'
   }catch(e){document.getElementById('c_out').innerText = 'error: '+e;}
+}
+async function effects(){
+  document.getElementById('e_out').innerText = 'processing...';
+  try{
+    const audio = await fileB64(document.getElementById('e_audio'));
+    const r = await post('/api/effects', {audio_b64: audio,
+      reverb: document.getElementById('e_reverb').checked,
+      reverb_room_size: +document.getElementById('e_room').value,
+      pitchshift: +document.getElementById('e_pitch').value != 0,
+      pitch_shift: +document.getElementById('e_pitch').value,
+      chorus: document.getElementById('e_chorus').checked,
+      delay: document.getElementById('e_delay').checked,
+      compressor: document.getElementById('e_comp').checked,
+      gain: +document.getElementById('e_gain').value != 0,
+      gain_db: +document.getElementById('e_gain').value});
+    if(r.error){document.getElementById('e_out').innerText = 'error: '+r.error; return;}
+    document.getElementById('e_out').innerHTML =
+      '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>';
+  }catch(e){document.getElementById('e_out').innerText = 'error: '+e;}
+}
+let lastJob = null;
+async function job(kind){
+  const r = await post('/api/job_start', {kind: kind,
+    exp_dir: document.getElementById('t_exp').value,
+    dataset: document.getElementById('t_data').value,
+    sr: +document.getElementById('t_sr').value,
+    version: document.getElementById('t_ver').value,
+    embedder: document.getElementById('t_emb').value,
+    epochs: +document.getElementById('t_epochs').value,
+    batch_size: +document.getElementById('t_bs').value});
+  lastJob = r.job_id;
+  document.getElementById('t_out').innerText = JSON.stringify(r, null, 2);
+}
+async function jobStatus(){
+  const r = await post('/api/job_status', {job_id: lastJob});
+  document.getElementById('t_out').innerText =
+    (r.done ? '[done] ' : '[running] ') + (r.error||'') + '\n' + (r.log||'');
 }
 async function info(){
   const r = await post('/api/model_info', {model: document.getElementById('i_model').value});
@@ -194,6 +260,18 @@ class Handler(BaseHTTPRequestHandler):
                 from ..utils.model_tools import model_info
 
                 self._json(model_info(req["model"]))
+            elif self.path == "/api/effects":
+                self._api_effects(req)
+            elif self.path == "/api/job_start":
+                self._json(_start_job(req))
+            elif self.path == "/api/job_status":
+                with _JOBS_LOCK:
+                    job = _JOBS.get(req.get("job_id"))
+                if job is None:
+                    self._json({"error": "unknown job"}, 404)
+                else:
+                    self._json({"done": job["done"], "error": job["error"],
+                                "log": "\n".join(job["log"][-40:])})
             elif self.path == "/api/fuse":
                 from ..utils.model_tools import fuse_models
 
@@ -229,8 +307,105 @@ class Handler(BaseHTTPRequestHandler):
         self._json({"audio_b64": _audio_to_wav_b64(out, pipe.cfg.sr),
                     "sr": pipe.cfg.sr})
 
+    def _api_effects(self, req):
+        import dataclasses
+
+        from ..utils.effects import EffectsSettings, apply_effects
+
+        wav, sr = _wav_bytes_to_audio(base64.b64decode(req["audio_b64"]))
+        fields = {f.name for f in dataclasses.fields(EffectsSettings)}
+        settings = EffectsSettings(**{k: v for k, v in req.items()
+                                      if k in fields})
+        out, out_sr = apply_effects(wav, sr, settings)
+        self._json({"audio_b64": _audio_to_wav_b64(out, out_sr),
+                    "sr": out_sr})
+
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logger.info("%s " + fmt, self.address_string(), *args)
+
+
+def _start_job(req: dict) -> dict:
+    """Run a training-stage job in a background thread with a captured
+    log, mirroring the reference app's subprocess-per-action tabs
+    (app.py:839) without the subprocess."""
+    import itertools
+
+    kind = req.get("kind")
+    if kind not in ("preprocess", "extract", "train"):
+        raise ValueError(f"unknown job kind {kind!r}")
+    with _JOBS_LOCK:
+        job_id = f"{kind}-{next(_start_job._counter)}"
+        job = {"log": [], "done": False, "error": None}
+        _JOBS[job_id] = job
+
+    class _Buf(logging.Handler):
+        def emit(self, record):
+            job["log"].append(self.format(record))
+
+    def _run():
+        handler = _Buf()
+        handler.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+        root = logging.getLogger("rvc_maker_tpu")
+        root.addHandler(handler)
+        try:
+            exp_dir = req["exp_dir"]
+            if kind == "preprocess":
+                from ..pipelines.preprocess import preprocess_dataset
+
+                n = preprocess_dataset(req["dataset"], exp_dir,
+                                       int(req.get("sr", 32000)))
+                job["log"].append(f"preprocess: {n} segments")
+            elif kind == "extract":
+                import jax
+
+                from ..models import hubert as hubert_mod
+                from ..config import preset
+                from ..pipelines.extract import (extract_embeddings,
+                                                 extract_f0,
+                                                 generate_filelist)
+
+                version = req.get("version", "v2")
+                emb = req.get("embedder", "")
+                hubert_params = (hubert_mod.load_fairseq_pt(emb) if emb else
+                                 hubert_mod.init_params(jax.random.PRNGKey(0)))
+                rmvpe_params = None
+                if req.get("rmvpe"):
+                    from ..models.rmvpe import load_rmvpe_pt
+
+                    rmvpe_params = load_rmvpe_pt(req["rmvpe"])
+                extract_f0(exp_dir,
+                           method="rmvpe" if rmvpe_params else "yin",
+                           rmvpe_params=rmvpe_params)
+                extract_embeddings(exp_dir, hubert_params, version=version)
+                generate_filelist(exp_dir,
+                                  preset(version, int(req.get("sr", 32000))),
+                                  version=version)
+                job["log"].append("extract: done")
+            else:
+                from ..config import RVCConfig, preset
+                from ..pipelines.train_loop import train
+
+                cfg = preset(req.get("version", "v2"),
+                             int(req.get("sr", 32000)))
+                train(exp_dir, cfg, total_epochs=int(req.get("epochs", 100)),
+                      batch_size=int(req.get("batch_size", 8)),
+                      pretrain_g=req.get("pretrain_g", ""),
+                      pretrain_d=req.get("pretrain_d", ""))
+                job["log"].append("train: done")
+        except Exception as e:  # noqa: BLE001 — surfaced via status API
+            logger.exception("job %s failed", job_id)
+            job["error"] = str(e)
+        finally:
+            job["done"] = True
+            root.removeHandler(handler)
+
+    t = threading.Thread(target=_run, daemon=True, name=job_id)
+    job["thread"] = t
+    t.start()
+    return {"job_id": job_id}
+
+
+_start_job._counter = __import__("itertools").count()
 
 
 def serve(host: str = "0.0.0.0", port: int = 7865):

@@ -124,24 +124,38 @@ def cmd_convert(args):
         hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
     rmvpe_params = None
     method = args.f0_method
-    if method == "rmvpe" and args.rmvpe_path:
+    if "rmvpe" in method and args.rmvpe_path:
         from .models.rmvpe import load_rmvpe_pt
         rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
     elif method == "rmvpe":
         logging.warning("no --rmvpe-path: falling back to yin f0")
         method = "yin"
+    fcpe_params = None
+    if "fcpe" in method and args.fcpe_path:
+        from .models.fcpe import load_fcpe_ckpt
+        fcpe_params = load_fcpe_ckpt(args.fcpe_path,
+                                     legacy="legacy" in method)
+    crepe_params = None
+    if "crepe" in method and args.crepe_path:
+        from .models.crepe import load_crepe_pth
+        capacity = method.split("-")[-1]
+        if capacity not in ("tiny", "small", "medium", "large", "full"):
+            capacity = "full"
+        crepe_params = load_crepe_pth(args.crepe_path, capacity)
     index_vectors = None
     if args.index and args.index_rate > 0:
         index_vectors = load_index(args.index).vectors
 
     pipe = ConvertPipeline(synth_params, cfg, hubert_params, version=version,
-                           rmvpe_params=rmvpe_params,
+                           rmvpe_params=rmvpe_params, fcpe_params=fcpe_params,
+                           crepe_params=crepe_params,
                            index_vectors=index_vectors)
     settings = ConvertSettings(
         pitch=args.pitch, index_rate=args.index_rate, protect=args.protect,
         f0_method=method, f0_autotune=args.f0_autotune,
         f0_autotune_strength=args.f0_autotune_strength,
-        volume_envelope=args.volume_envelope, resample_sr=args.resample_sr)
+        volume_envelope=args.volume_envelope, resample_sr=args.resample_sr,
+        hop_length=args.hop_length, filter_radius=args.filter_radius)
 
     audio = load_audio(args.input, 16000)
     peak = np.abs(audio).max() / 0.95
@@ -221,7 +235,7 @@ def build_parser():
     se.add_argument("--exp-dir", required=True)
     se.add_argument("--version", default="v2", choices=["v1", "v2"])
     se.add_argument("--sample-rate", type=int, default=48000)
-    se.add_argument("--f0-method", default="rmvpe", choices=["rmvpe", "yin"])
+    se.add_argument("--f0-method", default="rmvpe")
     se.add_argument("--embedder-path", default="")
     se.add_argument("--rmvpe-path", default="")
     se.set_defaults(func=cmd_extract)
@@ -252,7 +266,15 @@ def build_parser():
     sc.add_argument("--pitch", type=int, default=0)
     sc.add_argument("--index-rate", type=float, default=0.5)
     sc.add_argument("--protect", type=float, default=0.33)
-    sc.add_argument("--f0-method", default="rmvpe", choices=["rmvpe", "yin"])
+    sc.add_argument(
+        "--f0-method", default="rmvpe",
+        help="rmvpe | yin | pyin | fcpe | fcpe-legacy | dio | harvest | "
+             "swipe | pm | crepe-{tiny,small,medium,large,full} | "
+             "mangio-crepe-{...} | hybrid[a+b]")
+    sc.add_argument("--fcpe-path", default="")
+    sc.add_argument("--crepe-path", default="")
+    sc.add_argument("--hop-length", type=int, default=160)
+    sc.add_argument("--filter-radius", type=int, default=3)
     sc.add_argument("--f0-autotune", action="store_true")
     sc.add_argument("--f0-autotune-strength", type=float, default=1.0)
     sc.add_argument("--volume-envelope", type=float, default=1.0)

@@ -263,6 +263,64 @@ def load_fairseq_pt(path: str) -> Params:
     return params_from_fairseq_state_dict(sd)
 
 
+def params_from_transformers_state_dict(sd) -> Params:
+    """Import a transformers HubertModel checkpoint (reference
+    utils.py:155-166 embedders_mode="transformers"/"spin", which wraps
+    transformers.HubertModel with a final_proj head).
+
+    The HF graph is the same post-LN encoder as fairseq's; only the key
+    names differ, so translate them and reuse the fairseq mapper."""
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        if k == "masked_spec_embed" or k.startswith("encoder.pos_conv_embed"):
+            nk = k.replace("encoder.pos_conv_embed.conv",
+                           "encoder.pos_conv.0")
+        else:
+            nk = k
+        nk = re.sub(r"feature_extractor\.conv_layers\.(\d+)\.conv\.",
+                    r"feature_extractor.conv_layers.\1.0.", nk)
+        nk = nk.replace("feature_extractor.conv_layers.0.layer_norm.",
+                        "feature_extractor.conv_layers.0.2.")
+        nk = nk.replace("feature_projection.layer_norm.", "layer_norm.")
+        nk = nk.replace("feature_projection.projection.",
+                        "post_extract_proj.")
+        nk = re.sub(r"encoder\.layers\.(\d+)\.attention\.",
+                    r"encoder.layers.\1.self_attn.", nk)
+        nk = re.sub(r"encoder\.layers\.(\d+)\.layer_norm\.",
+                    r"encoder.layers.\1.self_attn_layer_norm.", nk)
+        nk = nk.replace(".feed_forward.intermediate_dense.", ".fc1.")
+        nk = nk.replace(".feed_forward.output_dense.", ".fc2.")
+        out[nk] = v
+    out.pop("masked_spec_embed", None)
+    return params_from_fairseq_state_dict(out)
+
+
+def load_transformers_dir(path: str) -> Params:
+    """Load a transformers-format HuBERT directory or single weights file
+    (.safetensors / pytorch_model.bin)."""
+    import os
+
+    import torch
+
+    candidates = ([path] if os.path.isfile(path) else
+                  [os.path.join(path, n) for n in
+                   ("model.safetensors", "pytorch_model.bin")])
+    for c in candidates:
+        if not os.path.isfile(c):
+            continue
+        if c.endswith(".safetensors"):
+            from safetensors.torch import load_file
+
+            sd = load_file(c)
+        else:
+            sd = torch.load(c, map_location="cpu", weights_only=False)
+        sd = {k.removeprefix("hubert."): v for k, v in sd.items()}
+        return params_from_transformers_state_dict(sd)
+    raise FileNotFoundError(f"no weights file found under {path}")
+
+
 # ---------------------------------------------------------------------------
 # init (random weights — for tests and from-scratch experiments)
 # ---------------------------------------------------------------------------

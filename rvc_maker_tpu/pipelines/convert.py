@@ -67,6 +67,7 @@ class ConvertSettings:
     x_center: int = 38
     x_max: int = 41
     filter_radius: int = 3
+    hop_length: int = 160              # mangio-crepe / pyin frame hop
     deterministic: bool = False        # zero noise (parity mode)
 
 
@@ -81,6 +82,7 @@ class ConvertPipeline:
     def __init__(self, synth_params: Any, model_cfg: ModelConfig,
                  hubert_params: Any, version: str = "v2",
                  rmvpe_params: Any = None, fcpe_params: Any = None,
+                 crepe_params: Any = None,
                  index_vectors: Optional[np.ndarray] = None,
                  rmvpe_microbatch: int = 8, max_device_batch: int = 8,
                  compute_dtype=None, mesh=None):
@@ -126,6 +128,9 @@ class ConvertPipeline:
         self.version = version
         self.rmvpe_params = _prep(rmvpe_params)
         self.fcpe_params = _prep(fcpe_params)
+        # crepe decodes on host (Viterbi); params stay fp32 for parity
+        self.crepe_params = (jax.device_put(crepe_params)
+                             if crepe_params is not None else None)
         self.index_vectors = (_prep(jnp.asarray(index_vectors))
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
@@ -280,6 +285,43 @@ class ConvertPipeline:
                     f0 = praat_ac(audio_batch[i], SAMPLE_RATE,
                                   f0_floor=50.0, f0_ceil=1100.0,
                                   voicing_threshold=0.6)
+                elif m.startswith("crepe") or m.startswith("mangio-crepe"):
+                    # capacity suffix selects the checkpoint loaded into
+                    # crepe_params at pipeline construction
+                    from ..models import crepe as crepe_mod
+                    if self.crepe_params is None:
+                        raise ValueError("crepe_params not loaded")
+                    if m.startswith("mangio"):
+                        # reference convert.py:215-228 (mangio): quantile
+                        # normalize, custom hop, viterbi, NaN-gate
+                        x = audio_batch[i].astype(np.float32)
+                        x = x / np.quantile(np.abs(x), 0.999)
+                        probs = crepe_mod.predict_probs(
+                            self.crepe_params, jnp.asarray(x[None]),
+                            hop_length=settings.hop_length)
+                        f0 = crepe_mod.decode(np.asarray(probs), 50.0,
+                                              1100.0)[0]
+                        f0 = np.where(f0 < 0.001, np.nan, f0)
+                    else:
+                        # reference convert.py:230-237: hop=window,
+                        # mean(f0,3)/median(pd,3), gate pd < 0.1
+                        probs = crepe_mod.predict_probs(
+                            self.crepe_params,
+                            jnp.asarray(audio_batch[i : i + 1]),
+                            hop_length=WINDOW)
+                        f0, pd = crepe_mod.decode(np.asarray(probs), 50.0,
+                                                  1100.0,
+                                                  return_periodicity=True)
+                        f0 = crepe_mod.mean_filter(f0, 3)
+                        pd = crepe_mod.median_filter(pd, 3)
+                        f0[pd < 0.1] = 0.0
+                        f0 = f0[0]
+                elif m == "pyin":
+                    from ..f0.pyin import pyin as pyin_fn
+                    f0 = pyin_fn(audio_batch[i], SAMPLE_RATE,
+                                 fmin=50.0, fmax=1100.0,
+                                 hop_length=settings.hop_length)[0]
+                    f0 = np.where(f0 < 0.001, np.nan, f0)
                 elif m in ("rmvpe", "yin"):
                     f0 = np.asarray(self._stage_f0(m)(
                         self.rmvpe_params, jnp.asarray(audio_batch[i : i + 1]),
@@ -291,7 +333,7 @@ class ConvertPipeline:
                                        np.arange(len(f0)), f0))
             f0 = (stack[0] if len(stack) == 1
                   else np.nanmedian(np.vstack(stack), axis=0))
-            out[i] = f0
+            out[i] = np.nan_to_num(f0)  # reference convert.py:281 nan_to_num
         out = out * (2.0 ** (settings.pitch / 12.0))
         if settings.f0_autotune:
             notes = NOTE_FREQS

@@ -90,3 +90,61 @@ def test_error_surface(server_port):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "error" in json.loads(e.read())
+
+
+def _tone_wav_b64(sr=16000, freq=220.0, secs=1.0):
+    t = np.arange(int(sr * secs)) / sr
+    tone = (0.3 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, tone)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_effects_endpoint(server_port):
+    resp = _post(server_port, "/api/effects", {
+        "audio_b64": _tone_wav_b64(), "reverb": True,
+        "reverb_room_size": 0.7, "gain": True, "gain_db": -3.0})
+    sr, out = wavfile.read(io.BytesIO(base64.b64decode(resp["audio_b64"])))
+    assert sr == resp["sr"] and len(out) > 0
+    assert np.all(np.isfinite(out))
+
+
+def test_training_job_endpoints(tmp_path, server_port):
+    import time
+
+    from rvc_maker_tpu.utils.audio import save_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    sr = 32000
+    t = np.arange(4 * sr) / sr
+    save_wav(str(data / "a.wav"),
+             (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    exp = str(tmp_path / "exp")
+
+    r = _post(server_port, "/api/job_start", {
+        "kind": "preprocess", "exp_dir": exp, "dataset": str(data),
+        "sr": sr})
+    job_id = r["job_id"]
+    for _ in range(120):
+        st = _post(server_port, "/api/job_status", {"job_id": job_id})
+        if st["done"]:
+            break
+        time.sleep(1)
+    assert st["done"] and not st["error"], st
+    assert "segments" in st["log"]
+    import os
+
+    assert os.path.isdir(os.path.join(exp, "sliced_audios_16k"))
+
+
+def test_job_unknown_kind(server_port):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/api/job_start",
+        data=json.dumps({"kind": "nope"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 500

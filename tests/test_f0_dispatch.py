@@ -1,0 +1,58 @@
+"""Pipeline-level F0 method dispatch: pyin / crepe / mangio-crepe /
+hybrid run end-to-end through ConvertPipeline (reference convert.py
+get_f0:283-323 method table)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from rvc_maker_tpu.config import ModelConfig
+from rvc_maker_tpu.models import crepe as jcrepe
+from rvc_maker_tpu.models import hubert as hubert_mod
+from rvc_maker_tpu.models import synthesizer as syn
+from rvc_maker_tpu.pipelines.convert import ConvertPipeline, ConvertSettings
+
+from reference_util import ref_module
+
+CFG_M = ModelConfig(
+    spec_channels=129, segment_size=8, inter_channels=32, hidden_channels=32,
+    filter_channels=64, n_heads=2, n_layers=1, kernel_size=3,
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    upsample_rates=(4, 4, 2, 2), upsample_initial_channel=32,
+    upsample_kernel_sizes=(8, 8, 4, 4), spk_embed_dim=4, gin_channels=16,
+    sr=6400, use_f0=True, text_enc_hidden_dim=768)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    mod = ref_module("main.library.predictors.CREPE")
+    torch.manual_seed(3)
+    net = mod.Crepe("tiny")
+    net.eval()
+    crepe_params = jcrepe.params_from_state_dict(net.state_dict(), "tiny")
+    return ConvertPipeline(
+        syn.init_params(jax.random.PRNGKey(0), CFG_M), CFG_M,
+        hubert_mod.init_params(jax.random.PRNGKey(1), n_layers=2),
+        version="v2", crepe_params=crepe_params)
+
+
+@pytest.mark.parametrize("method", ["pyin", "crepe-tiny",
+                                    "mangio-crepe-tiny", "hybrid[yin+pyin]"])
+def test_method_dispatch(pipe, method):
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)[None]
+    lengths = np.array([audio.shape[1]])
+    settings = ConvertSettings(f0_method=method, deterministic=True)
+    wav, pitchf = pipe.convert_batch(audio, lengths, 0, settings)
+    wav = np.asarray(wav)
+    assert np.all(np.isfinite(wav)) and wav.shape[0] == 1
+    f = np.asarray(pitchf)[0]
+    assert np.all(np.isfinite(f))
+    if "crepe" not in method:
+        # crepe here runs RANDOM weights (dispatch test only); the
+        # signal-processing methods must land on the true pitch
+        voiced = f[f > 0]
+        assert len(voiced) > 50
+        assert abs(np.median(voiced) - 220.0) / 220.0 < 0.05
