@@ -74,8 +74,10 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
 
 
 def _mha(p: Params, x, xa=None, *, n_head: int, causal: bool = False,
-         kv_override=None):
-    """Whisper MultiHeadAttention. kv_override: (k, v) precomputed."""
+         kv_override=None, return_qk: bool = False):
+    """Whisper MultiHeadAttention. kv_override: (k, v) precomputed.
+    return_qk: also return the pre-softmax attention scores (the qk
+    matrix whisper's word-alignment hooks capture, whisper.py:193)."""
     q = linear(x, p["q"]["w"], p["q"]["b"])
     if kv_override is not None:
         k, v = kv_override
@@ -96,22 +98,30 @@ def _mha(p: Params, x, xa=None, *, n_head: int, causal: bool = False,
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bhsd->bhtd", w, vh)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-    return linear(out, p["o"]["w"], p["o"]["b"])
+    out = linear(out, p["o"]["w"], p["o"]["b"])
+    return (out, scores) if return_qk else out
 
 
 def _block(p: Params, x, xa=None, *, n_head: int, causal: bool = False,
-           cross_kv=None):
+           cross_kv=None, return_cross_qk: bool = False):
     y = layer_norm(x, p["attn_ln"]["gamma"], p["attn_ln"]["beta"])
     x = x + _mha(p["attn"], y, n_head=n_head, causal=causal)
+    qk = None
     if "cross_attn" in p:
         y = layer_norm(x, p["cross_ln"]["gamma"], p["cross_ln"]["beta"])
-        x = x + _mha(p["cross_attn"], y, xa, n_head=n_head,
-                     kv_override=cross_kv)
+        if return_cross_qk:
+            attn, qk = _mha(p["cross_attn"], y, xa, n_head=n_head,
+                            kv_override=cross_kv, return_qk=True)
+        else:
+            attn = _mha(p["cross_attn"], y, xa, n_head=n_head,
+                        kv_override=cross_kv)
+        x = x + attn
     y = layer_norm(x, p["mlp_ln"]["gamma"], p["mlp_ln"]["beta"])
     y = linear(jax.nn.gelu(linear(y, p["fc1"]["w"], p["fc1"]["b"]),
                            approximate=False),
                p["fc2"]["w"], p["fc2"]["b"])
-    return x + y
+    x = x + y
+    return (x, qk) if return_cross_qk else x
 
 
 def encode_audio(params: Params, dims: WhisperDims, mel):
@@ -138,6 +148,44 @@ def decode_logits(params: Params, dims: WhisperDims, tokens, audio_features):
                    causal=True)
     x = layer_norm(x, params["ln"]["gamma"], params["ln"]["beta"])
     return jnp.einsum("btc,vc->btv", x, emb)
+
+
+def decode_logits_with_cross_qk(params: Params, dims: WhisperDims, tokens,
+                                audio_features):
+    """Teacher-forced decoder pass that also returns the per-layer
+    cross-attention score matrices (reference whisper.py:184-193
+    find_alignment hooks).
+
+    Returns (logits (B, T, n_vocab), qk (n_layer, B, n_head, T, S))."""
+    emb = params["tok_emb"]
+    x = emb[tokens] + params["pos_emb"][: tokens.shape[1]]
+    qks = []
+    for bp in params["blocks"]:
+        x, qk = _block(bp, x, audio_features, n_head=dims.n_text_head,
+                       causal=True, return_cross_qk=True)
+        qks.append(qk)
+    x = layer_norm(x, params["ln"]["gamma"], params["ln"]["beta"])
+    return jnp.einsum("btc,vc->btv", x, emb), jnp.stack(qks)
+
+
+def default_alignment_heads(dims: WhisperDims) -> np.ndarray:
+    """Boolean (n_text_layer, n_text_head) mask: all heads in the upper
+    half of decoder layers — whisper's default when a checkpoint has no
+    model-specific mask (reference whisper.py:694-695)."""
+    mask = np.zeros((dims.n_text_layer, dims.n_text_head), bool)
+    mask[dims.n_text_layer // 2:] = True
+    return mask
+
+
+def alignment_heads_from_dump(dump: bytes, dims: WhisperDims) -> np.ndarray:
+    """Decode a base85+gzip alignment-head mask (the format whisper
+    checkpoints' metadata uses, reference whisper.py:697-698)."""
+    import base64
+    import gzip
+
+    raw = gzip.decompress(base64.b85decode(dump))
+    return (np.frombuffer(raw, dtype=bool).copy()
+            .reshape(dims.n_text_layer, dims.n_text_head))
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +299,63 @@ def greedy_decode(params: Params, dims: WhisperDims, audio_features,
             params, dims, jnp.full((audio_features.shape[0],), cur, jnp.int32),
             cache)
     return out
+
+
+def decode_window(params: Params, dims: WhisperDims, audio_features,
+                  initial_tokens: list[int], *, eot: int,
+                  max_tokens: int = 224, suppress=None,
+                  timestamp_begin: int | None = None,
+                  temperature: float = 0.0, rng=None,
+                  no_speech_token: int | None = None) -> dict:
+    """One decoding attempt with quality statistics for temperature
+    fallback (reference whisper.py decode/DecodingResult fields:
+    avg_logprob, no_speech_prob).
+
+    temperature == 0 -> greedy; > 0 -> sample from softmax(logits/t)
+    (rng: np.random.Generator).  Returns {tokens, avg_logprob,
+    no_speech_prob}."""
+    cache = init_cache(params, dims, audio_features)
+    logits = None
+    no_speech_prob = 0.0
+    for i, t in enumerate(initial_tokens):
+        logits, cache = decode_step(
+            params, dims, jnp.full((audio_features.shape[0],), t, jnp.int32),
+            cache)
+        if i == 0 and no_speech_token is not None:
+            # probability read at the SOT position (whisper.py:346)
+            p = np.asarray(jax.nn.softmax(logits[0]))
+            no_speech_prob = float(p[no_speech_token])
+    out: list[int] = []
+    sum_logprob = 0.0
+    if rng is None:
+        rng = np.random.default_rng(0)
+    for _ in range(max_tokens):
+        lg = np.asarray(logits[0], np.float64)
+        if suppress is not None:
+            lg[suppress] = -np.inf
+        if timestamp_begin is not None and out:
+            last_ts = [tk for tk in out if tk >= timestamp_begin]
+            if last_ts:
+                lg[timestamp_begin: last_ts[-1]] = -np.inf
+        logprobs = lg - np.log(np.sum(np.exp(lg - lg.max()))) - lg.max()
+        if temperature > 0:
+            z = lg / temperature
+            pz = np.exp(z - z.max())
+            pz = pz / pz.sum()
+            cur = int(rng.choice(len(pz), p=pz))
+        else:
+            cur = int(np.argmax(lg))
+        sum_logprob += float(logprobs[cur])
+        if cur == eot:
+            break
+        out.append(cur)
+        logits, cache = decode_step(
+            params, dims, jnp.full((audio_features.shape[0],), cur, jnp.int32),
+            cache)
+    # whisper averages over generated tokens + eot (decoding.py semantics)
+    avg_logprob = sum_logprob / (len(out) + 1)
+    return {"tokens": out, "avg_logprob": avg_logprob,
+            "no_speech_prob": no_speech_prob}
 
 
 # ---------------------------------------------------------------------------

@@ -1,17 +1,19 @@
 """Segment-level transcription: 30 s windows -> timestamped segments.
 
 The reference transcribe_function (whisper.py:299-520) drives decoding
-window by window with temperature fallback and seek logic.  This is the
-greedy-core equivalent producing the (start, end, text) segments the
-diarized-conversion flow consumes (reference convert_with_whisper,
-app.py:1022-1164); temperature fallback and word-level DTW timestamps
-are round-2.
+window by window with temperature fallback and seek logic.  This mirrors
+that loop for the diarized-conversion flow (reference
+convert_with_whisper, app.py:1022-1164): per window, decode at
+increasing temperatures until the result passes the compression-ratio /
+avg-logprob gates (whisper.py:329-349 decode_with_fallback), skip
+no-speech windows, and optionally attach DTW word timestamps.
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Any
+import zlib
+from typing import Any, Sequence
 
 import numpy as np
 
@@ -23,12 +25,63 @@ from .whisper_tokenizer import WhisperTokenizer
 logger = logging.getLogger(__name__)
 
 
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    return len(data) / len(zlib.compress(data)) if data else 0.0
+
+
+def decode_with_fallback(params: Any, dims: wmod.WhisperDims,
+                         tok: WhisperTokenizer, feats, *,
+                         suppress, temperatures: Sequence[float],
+                         compression_ratio_threshold: float | None = 2.4,
+                         logprob_threshold: float | None = -1.0,
+                         rng=None) -> dict:
+    """Reference whisper.py:329-349: retry at higher temperature while
+    the transcript is too repetitive (compression ratio) or too
+    unlikely (avg logprob)."""
+    result: dict = {}
+    for t in temperatures:
+        result = wmod.decode_window(
+            params["decoder"], dims, feats, tok.sot_sequence(), eot=tok.eot,
+            suppress=suppress, timestamp_begin=tok.timestamp_begin,
+            temperature=float(t), rng=rng, no_speech_token=tok.no_speech)
+        result["temperature"] = float(t)
+        result["text"] = tok.decode(
+            [x for x in result["tokens"] if x < tok.eot]).strip()
+        result["compression_ratio"] = compression_ratio(result["text"])
+        needs_fallback = False
+        if (compression_ratio_threshold is not None
+                and result["compression_ratio"]
+                > compression_ratio_threshold):
+            needs_fallback = True
+        if (logprob_threshold is not None
+                and result["avg_logprob"] < logprob_threshold):
+            needs_fallback = True
+        if not needs_fallback:
+            break
+        logger.debug("fallback: t=%.1f cr=%.2f lp=%.2f", t,
+                     result["compression_ratio"], result["avg_logprob"])
+    return result
+
+
 def transcribe(params: Any, dims: wmod.WhisperDims, tok: WhisperTokenizer,
                audio16k: np.ndarray, *, max_windows: int = 100,
-               suppress_non_speech: bool = True) -> list[dict]:
-    """audio16k: (L,) -> [{"start": s, "end": s, "text": str, "tokens": [...]}]"""
+               suppress_non_speech: bool = True,
+               temperature: Sequence[float] | float = (0.0, 0.2, 0.4, 0.6,
+                                                       0.8, 1.0),
+               compression_ratio_threshold: float | None = 2.4,
+               logprob_threshold: float | None = -1.0,
+               no_speech_threshold: float | None = 0.6,
+               word_timestamps: bool = False,
+               alignment_heads: np.ndarray | None = None,
+               seed: int = 0) -> list[dict]:
+    """audio16k: (L,) -> [{"start", "end", "text", "tokens"[, "words"]}]"""
     suppress = list(tok.non_speech_tokens()) if suppress_non_speech else []
     suppress += [tok.sot, tok.no_speech, tok.no_timestamps, tok.sot_prev]
+    suppress = np.asarray(suppress, np.int64)
+    temperatures = ([temperature] if isinstance(temperature, (int, float))
+                    else list(temperature))
+    rng = np.random.default_rng(seed)
 
     segments: list[dict] = []
     seek = 0  # in samples
@@ -43,13 +96,25 @@ def transcribe(params: Any, dims: wmod.WhisperDims, tok: WhisperTokenizer,
 
         mel = wmod.log_mel(jnp.asarray(padded[None]), dims.n_mels)
         feats = wmod.encode_audio(params["encoder"], dims, mel)
-        tokens = wmod.greedy_decode(
-            params["decoder"], dims, feats, tok.sot_sequence(),
-            eot=tok.eot, suppress=np.asarray(suppress, np.int64),
-            timestamp_begin=tok.timestamp_begin)
+        result = decode_with_fallback(
+            params, dims, tok, feats, suppress=suppress,
+            temperatures=temperatures,
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=logprob_threshold, rng=rng)
+        tokens = result["tokens"]
 
-        # split on timestamp tokens: <|t0|> text <|t1|> <|t2|> text <|t3|> ...
+        # no-speech skip (whisper.py:371-376): confident silence AND the
+        # text gate failed -> jump a full window
+        if (no_speech_threshold is not None
+                and result["no_speech_prob"] > no_speech_threshold
+                and not (logprob_threshold is not None
+                         and result["avg_logprob"] >= logprob_threshold)):
+            seek += wmod.N_SAMPLES
+            continue
+
+        # split on timestamp tokens: <|t0|> text <|t1|> <|t2|> text ...
         ts = tok.timestamp_begin
+        window_segments: list[dict] = []
         cur_start = None
         cur_tokens: list[int] = []
         last_ts_sec = 0.0
@@ -60,7 +125,7 @@ def transcribe(params: Any, dims: wmod.WhisperDims, tok: WhisperTokenizer,
                     cur_start = sec
                 else:
                     if cur_tokens:
-                        segments.append({
+                        window_segments.append({
                             "start": time_offset + cur_start,
                             "end": time_offset + sec,
                             "tokens": cur_tokens,
@@ -73,13 +138,22 @@ def transcribe(params: Any, dims: wmod.WhisperDims, tok: WhisperTokenizer,
                 cur_tokens.append(t)
         if cur_start is not None and cur_tokens:
             end = min(len(chunk) / wmod.SAMPLE_RATE, 30.0)
-            segments.append({
+            window_segments.append({
                 "start": time_offset + cur_start,
                 "end": time_offset + end,
                 "tokens": cur_tokens,
                 "text": tok.decode(cur_tokens).strip(),
             })
             last_ts_sec = end
+
+        if word_timestamps and window_segments:
+            from .align import add_word_timestamps
+
+            num_frames = max(2, len(chunk) // wmod.HOP_LENGTH)
+            add_word_timestamps(window_segments, params, dims, tok, feats,
+                                num_frames, time_offset=time_offset,
+                                alignment_heads=alignment_heads)
+        segments.extend(window_segments)
 
         advance = int(last_ts_sec * wmod.SAMPLE_RATE)
         if advance <= 0:

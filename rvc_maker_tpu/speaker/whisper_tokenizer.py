@@ -127,3 +127,59 @@ class WhisperTokenizer:
 
     def timestamp_to_seconds(self, token: int) -> float:
         return (token - self.timestamp_begin) * 0.02
+
+    # -- word segmentation (reference whisper.py tokenizer
+    #    split_to_word_tokens / split_tokens_on_unicode|spaces) ------------
+
+    def decode_with_timestamps(self, ids) -> str:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i >= self.timestamp_begin:
+                out.append(f"<|{(i - self.timestamp_begin) * 0.02:.2f}|>")
+            else:
+                out.append(self.decode([i]))
+        return "".join(out)
+
+    def split_tokens_on_unicode(self, tokens: list[int]):
+        """Group tokens so each group decodes to whole unicode chars
+        (byte-level BPE can split a codepoint across tokens)."""
+        decoded_full = self.decode_with_timestamps(tokens)
+        replacement = "�"
+        words, word_tokens, current = [], [], []
+        offset = 0
+        for token in tokens:
+            current.append(token)
+            decoded = self.decode_with_timestamps(current)
+            if (replacement not in decoded
+                    or decoded_full[offset + decoded.index(replacement)]
+                    == replacement):
+                words.append(decoded)
+                word_tokens.append(current)
+                current = []
+                offset += len(decoded)
+        return words, word_tokens
+
+    def split_tokens_on_spaces(self, tokens: list[int]):
+        import string
+
+        subwords, subword_tokens_list = self.split_tokens_on_unicode(tokens)
+        words: list[str] = []
+        word_tokens: list[list[int]] = []
+        for subword, sub_tokens in zip(subwords, subword_tokens_list):
+            special = sub_tokens[0] >= self.eot
+            with_space = subword.startswith(" ")
+            punct = subword.strip() in string.punctuation
+            if special or with_space or punct or len(words) == 0:
+                words.append(subword)
+                word_tokens.append(sub_tokens)
+            else:
+                words[-1] += subword
+                word_tokens[-1].extend(sub_tokens)
+        return words, word_tokens
+
+    def split_to_word_tokens(self, tokens: list[int]):
+        if self.language in ("zh", "ja", "th", "lo", "my", "yue"):
+            # no spaces between words: split at codepoint boundaries
+            return self.split_tokens_on_unicode(tokens)
+        return self.split_tokens_on_spaces(tokens)
