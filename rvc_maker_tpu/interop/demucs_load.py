@@ -67,6 +67,8 @@ def _config_from(klass, kwargs: dict) -> DemucsConfig:
         time_stride=kwargs.get("time_stride", 2),
         freq_emb_scale=kwargs.get("freq_emb", 0.2),
         cac=kwargs.get("cac", True),
+        wiener_iters=kwargs.get("wiener_iters", 0),
+        wiener_residual=kwargs.get("wiener_residual", False),
         has_transformer=has_transformer,
         t_heads=kwargs.get("t_heads", 8),
         samplerate=kwargs.get("samplerate", 44100),

@@ -6,9 +6,9 @@ toolkit ships: htdemucs / htdemucs_ft / htdemucs_6s (hybrid transformer)
 and hdemucs_mmi (hybrid spectrogram, BLSTM+LocalState dconv branches).
 
 Layouts: frequency-domain activations (B, F, T, C) [NHWC], time-domain
-(B, T, C).  The cac (complex-as-channels) output path is implemented —
-every shipped demucs model uses cac=True; Wiener-EM filtering for
-non-cac checkpoints is deliberately out of scope here.
+(B, T, C).  Both output paths are implemented: cac (complex-as-channels,
+every shipped demucs model) and magnitude-mask checkpoints via Wiener-EM
+filtering (expectation_maximization / wiener / wiener_mask below).
 
 Numerics kept from the reference: normalized STFT (1/sqrt(n_fft)),
 reflect pad1d with short-input fallback, GroupNorm(1) over (C, spatial),
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -476,11 +477,116 @@ class DemucsConfig:
     time_stride: int = 2
     freq_emb_scale: float = 0.2
     cac: bool = True
+    wiener_iters: int = 0
+    wiener_residual: bool = False
     has_transformer: bool = True
     t_heads: int = 8
     samplerate: int = 44100
     segment: float = 40.0
     use_train_segment: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Wiener EM filtering (non-cac checkpoints)
+# ---------------------------------------------------------------------------
+#
+# Reference hdemucs.py:111-168 expectation_maximization and :170-188
+# wiener (openunmix-style split-real complex arithmetic with per-frame
+# python loops).  TPU-native: native complex dtypes, everything a single
+# einsum contraction over the whole window — no per-source or
+# per-channel-pair loops; frames are windowed in fixed 300-frame chunks
+# (zero-padded, which provably leaves the EM statistics unchanged) so
+# the program is one static-shape jit.
+
+
+def _invert_2x2(m):
+    """Batched complex 2x2 (or 1x1) matrix inverse, last two dims."""
+    if m.shape[-1] == 1:
+        return 1.0 / m
+    det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    inv_det = 1.0 / det
+    row0 = jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1)
+    row1 = jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1)
+    return inv_det[..., None, None] * jnp.stack([row0, row1], axis=-2)
+
+
+def expectation_maximization(y, x, iterations: int = 2, eps: float = 1e-10):
+    """y: (T, F, C, S) complex source estimates; x: (T, F, C) complex
+    mix.  Returns refined y (reference hdemucs.py:111-168)."""
+    c = x.shape[-1]
+    reg = jnp.sqrt(jnp.asarray(eps, jnp.float32)) * jnp.eye(c, dtype=x.dtype)
+    for _ in range(iterations):
+        v = jnp.mean(jnp.abs(y) ** 2, axis=2)                    # (T, F, S)
+        weight = eps + jnp.sum(v, axis=0)                        # (F, S)
+        cov = jnp.einsum("tfcs,tfds->fcds", y, jnp.conj(y))
+        r = cov / weight[:, None, None, :]                       # (F, C, C, S)
+        cxx = reg[None, None] + jnp.einsum("tfs,fcds->tfcd", v, r)
+        inv = _invert_2x2(cxx)
+        # y_j = v_j * (R_j @ inv_Cxx) @ x   (hdemucs.py:152-166)
+        y = jnp.einsum("fcds,tfde,tfs,tfe->tfcs", r, inv, v, x)
+    return y
+
+
+def wiener(mag_spectrograms, mix_stft, iterations: int = 1, *,
+           softmask: bool = False, residual: bool = False,
+           scale_factor: float = 10.0, eps: float = 1e-10):
+    """mag_spectrograms: (T, F, C, S) non-negative per-channel source
+    magnitudes; mix_stft: (T, F, C) complex.  Returns
+    (T, F, C, S[+1 if residual]) complex (reference hdemucs.py:170-188)."""
+    if softmask:
+        mask = mag_spectrograms / (eps + jnp.sum(mag_spectrograms, axis=-1,
+                                                 keepdims=True))
+        y = mix_stft[..., None] * mask
+    else:
+        angle = jnp.angle(mix_stft)[..., None]
+        y = (mag_spectrograms * jnp.exp(1j * angle)).astype(mix_stft.dtype)
+    if residual:
+        y = jnp.concatenate(
+            [y, mix_stft[..., None] - jnp.sum(y, axis=-1, keepdims=True)],
+            axis=-1)
+    if iterations == 0:
+        return y
+    max_abs = jnp.maximum(1.0, jnp.sqrt(jnp.max(jnp.abs(mix_stft) ** 2))
+                          / scale_factor)
+    y = expectation_maximization(y / max_abs, mix_stft / max_abs,
+                                 iterations, eps=eps)
+    return y * max_abs
+
+
+def wiener_mask(mag_out, mix_stft, niters: int, residual: bool = False,
+                win_len: int = 300):
+    """Windowed wiener over a full track (reference _wiener,
+    hdemucs.py:651-677).  mag_out: (B, S, C, F, T) magnitudes;
+    mix_stft: (B, C, F, T) complex -> (B, S, C, F, T) complex."""
+    b, s, c, fq, t = mag_out.shape
+    mags = mag_out.transpose(0, 4, 3, 2, 1)          # (B, T, F, C, S)
+    mix = mix_stft.transpose(0, 3, 2, 1)             # (B, T, F, C)
+    outs = []
+    for bi in range(b):
+        chunks = []
+        for pos in range(0, t, win_len):
+            m_chunk = mags[bi, pos : pos + win_len]
+            x_chunk = mix[bi, pos : pos + win_len]
+            n = m_chunk.shape[0]
+            if n < win_len:
+                # zero frames add nothing to the EM covariances/weights
+                # and their outputs are discarded -> exact
+                m_chunk = jnp.pad(m_chunk, ((0, win_len - n),) +
+                                  ((0, 0),) * 3)
+                x_chunk = jnp.pad(x_chunk, ((0, win_len - n),) +
+                                  ((0, 0),) * 2)
+            z = _wiener_win(m_chunk, x_chunk, niters, residual)
+            chunks.append(z[:n])
+        outs.append(jnp.concatenate(chunks, axis=0))
+    out = jnp.stack(outs, axis=0)                    # (B, T, F, C, S')
+    if residual:
+        out = out[..., :-1]
+    return out.transpose(0, 4, 3, 2, 1)              # (B, S, C, F, T)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _wiener_win(m_chunk, x_chunk, niters, residual):
+    return wiener(m_chunk, x_chunk, niters, residual=residual)
 
 
 def apply_model_single(params: Params, cfg: DemucsConfig, mix):
@@ -499,10 +605,14 @@ def apply_model_single(params: Params, cfg: DemucsConfig, mix):
     z = _spectro(padded, cfg.nfft, hop)[..., :-1, :]
     z = z[..., 2 : 2 + le]
 
-    # magnitude (cac): (B, C, F, T) complex -> (B, F, T, 2C) channels-last
     b, c, fq, t = z.shape
-    mag = jnp.stack([z.real, z.imag], axis=2).reshape(b, c * 2, fq, t)
-    x = mag.transpose(0, 2, 3, 1)                   # (B, F, T, 2C)
+    if cfg.cac:
+        # complex-as-channels: (B, C, F, T) complex -> (B, F, T, 2C)
+        mag = jnp.stack([z.real, z.imag], axis=2).reshape(b, c * 2, fq, t)
+        x = mag.transpose(0, 2, 3, 1)               # (B, F, T, 2C)
+    else:
+        # magnitude input; phases return via wiener (hdemucs.py:627-649)
+        x = jnp.abs(z).transpose(0, 2, 3, 1)        # (B, F, T, C)
 
     mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
     std = jnp.std(x, axis=(1, 2, 3), keepdims=True, ddof=1)
@@ -556,11 +666,21 @@ def apply_model_single(params: Params, cfg: DemucsConfig, mix):
                 xt, _ = _hdec_apply(tdec, xt, skip_t, length_t)
 
     s = len(cfg.sources)
-    # x: (B, F, T, S*2C); rescale then -> (B, S, C, F, T) complex
     x = x * std + mean
-    x = x.transpose(0, 3, 1, 2)                     # (B, S*2C, F, T)
-    x = x.reshape(b, s, cfg.audio_channels, 2, fq, t)
-    zout = x[:, :, :, 0] + 1j * x[:, :, :, 1]
+    x = x.transpose(0, 3, 1, 2)                     # (B, S*{2C|C}, F, T)
+    if cfg.cac:
+        # x: (B, S*2C, F, T) -> (B, S, C, F, T) complex
+        x = x.reshape(b, s, cfg.audio_channels, 2, fq, t)
+        zout = x[:, :, :, 0] + 1j * x[:, :, :, 1]
+    else:
+        # masks/magnitudes -> complex via normalized-mix phase or
+        # Wiener EM (reference _mask, hdemucs.py:636-649)
+        m = x.reshape(b, s, cfg.audio_channels, fq, t)
+        if cfg.wiener_iters < 0:
+            zout = z[:, None] / (1e-8 + jnp.abs(z)[:, None]) * m
+        else:
+            zout = wiener_mask(m, z, cfg.wiener_iters,
+                               cfg.wiener_residual)
 
     # inverse spec
     zp = jnp.pad(zout, ((0, 0),) * 3 + ((0, 1), (2, 2)))
