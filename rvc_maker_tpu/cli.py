@@ -107,6 +107,11 @@ def cmd_train(args):
 def cmd_convert(args):
     import numpy as np
 
+    if getattr(args, "preset", ""):
+        from .utils.presets import apply_preset_to_args, load_preset
+
+        apply_preset_to_args(args, load_preset(args.preset))
+
     from .interop import load_synthesizer_pth
     from .models import hubert as hubert_mod
     from .pipelines.convert import ConvertPipeline, ConvertSettings
@@ -155,9 +160,16 @@ def cmd_convert(args):
         f0_method=method, f0_autotune=args.f0_autotune,
         f0_autotune_strength=args.f0_autotune_strength,
         volume_envelope=args.volume_envelope, resample_sr=args.resample_sr,
-        hop_length=args.hop_length, filter_radius=args.filter_radius)
+        hop_length=args.hop_length, filter_radius=args.filter_radius,
+        f0_file=args.f0_file)
 
     audio = load_audio(args.input, 16000)
+    if args.formant_shifting:
+        # reference load_audio(formant_shifting=True) via stftpitchshift
+        from .utils.pitchshift import formant_shift
+
+        audio = formant_shift(audio, 16000, quefrency=args.formant_qfrency,
+                              timbre=args.formant_timbre)
     peak = np.abs(audio).max() / 0.95
     if peak > 1:
         audio = audio / peak
@@ -168,6 +180,11 @@ def cmd_convert(args):
     else:
         out = pipe.convert_utterance(audio, args.sid, settings)
     out_sr = args.resample_sr if args.resample_sr else cfg.sr
+    if args.clean_audio:
+        # reference convert.py clean_audio: spectral-gate the output
+        from .utils.noisereduce import reduce_noise
+
+        out = reduce_noise(out, out_sr, prop_decrease=args.clean_strength)
     save_wav(args.output, out, out_sr)
     print(f"convert: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
 
@@ -272,6 +289,13 @@ def build_parser():
              "swipe | pm | crepe-{tiny,small,medium,large,full} | "
              "mangio-crepe-{...} | hybrid[a+b]")
     sc.add_argument("--fcpe-path", default="")
+    sc.add_argument("--preset", default="", help="preset JSON (reference-compatible)")
+    sc.add_argument("--f0-file", default="", help='external "time,f0" contour')
+    sc.add_argument("--clean-audio", action="store_true")
+    sc.add_argument("--clean-strength", type=float, default=0.7)
+    sc.add_argument("--formant-shifting", action="store_true")
+    sc.add_argument("--formant-qfrency", type=float, default=0.8)
+    sc.add_argument("--formant-timbre", type=float, default=0.8)
     sc.add_argument("--crepe-path", default="")
     sc.add_argument("--hop-length", type=int, default=160)
     sc.add_argument("--filter-radius", type=int, default=3)

@@ -68,6 +68,7 @@ class ConvertSettings:
     x_max: int = 41
     filter_radius: int = 3
     hop_length: int = 160              # mangio-crepe / pyin frame hop
+    f0_file: str = ""                  # external "time,f0" contour file
     deterministic: bool = False        # zero noise (parity mode)
 
 
@@ -389,6 +390,8 @@ class ConvertPipeline:
         else:
             f0 = jnp.asarray(self._host_f0(settings.f0_method, audio_batch,
                                            settings))
+        if settings.f0_file:
+            f0 = jnp.asarray(_apply_f0_file(np.asarray(f0), settings))
         feats, feats0 = self._stage_features(use_index)(
             self.hubert_params,
             self.index_vectors if use_index else dummy_index,
@@ -469,6 +472,24 @@ class ConvertPipeline:
 
 SPLIT_DB_THRESH = -60
 SPLIT_MIN_INTERVAL_MS = 500
+
+
+def _apply_f0_file(f0: np.ndarray, settings: ConvertSettings) -> np.ndarray:
+    """Overwrite the computed contour with an external "time,f0" file
+    (reference convert.py:314-316: values interpolated to 100 fps and
+    written after the x_pad reflect-pad region)."""
+    with open(settings.f0_file) as f:
+        rows = [[float(v) for v in line.split(",")]
+                for line in f.read().strip().split("\n") if line.strip()]
+    inp = np.asarray(rows, np.float32)
+    tf0 = SAMPLE_RATE // WINDOW                          # 100 frames/s
+    n = int(np.round((inp[:, 0].max() - inp[:, 0].min()) * tf0 + 1))
+    replace = np.interp(np.arange(n), inp[:, 0] * tf0, inp[:, 1])
+    start = settings.x_pad * tf0
+    stop = min(start + len(replace), f0.shape[1])
+    out = np.array(f0)
+    out[:, start:stop] = replace[: stop - start]
+    return out
 
 
 def convert_split(pipe: "ConvertPipeline", audio16k: np.ndarray, sid: int,
