@@ -189,6 +189,77 @@ def cmd_convert(args):
     print(f"convert: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
 
 
+def cmd_separate(args):
+    from .interop.demucs_load import load_demucs_bag, load_demucs_th
+    from .pipelines.separate import apply_bag, separate_vocals
+    from .utils.audio import read_wav, save_wav
+
+    _setup_logging(None)
+    audio, sr = read_wav(args.input)
+    if args.model.endswith((".yaml", ".yml")):
+        import numpy as np
+
+        bag = load_demucs_bag(args.model)
+        if audio.ndim == 1:
+            audio = np.stack([audio, audio], axis=1)
+        out = apply_bag(bag, audio.T[None].astype(np.float32),
+                        shifts=args.shifts)
+        cfg = bag[0][1]
+        v_idx = cfg.sources.index("vocals")
+        vocals = out[0, v_idx].T
+        inst = sum(out[0, k] for k in range(len(cfg.sources))
+                   if k != v_idx).T
+    else:
+        params, cfg = load_demucs_th(args.model)
+        vocals, inst = separate_vocals(
+            params, cfg, audio, sr, shifts=args.shifts,
+            invert_using_spec=args.invert_using_spec)
+    save_wav(args.output_vocals, vocals, cfg.samplerate)
+    if args.output_instrumental:
+        save_wav(args.output_instrumental, inst, cfg.samplerate)
+    print(f"separate: wrote {args.output_vocals}"
+          + (f" and {args.output_instrumental}"
+             if args.output_instrumental else ""))
+
+
+def cmd_create_dataset(args):
+    from .pipelines.create_dataset import create_dataset
+
+    _setup_logging(None)
+    separator = None
+    if args.separator_model:
+        from .interop.demucs_load import load_demucs_th
+
+        separator = load_demucs_th(args.separator_model)
+    written = create_dataset(
+        args.inputs, args.output, sample_rate=args.sample_rate,
+        skip_start=args.skip_start or None, skip_end=args.skip_end or None,
+        separator=separator, clean_dataset=args.clean_dataset,
+        clean_strength=args.clean_strength)
+    print(f"create-dataset: wrote {len(written)} files to {args.output}")
+
+
+def cmd_transcribe(args):
+    import json
+
+    from .models.whisper import load_whisper_pt
+    from .speaker.transcribe import transcribe
+    from .speaker.whisper_tokenizer import WhisperTokenizer
+    from .utils.audio import load_audio
+
+    _setup_logging(None)
+    params, dims = load_whisper_pt(args.model)
+    tok = WhisperTokenizer(args.vocab, multilingual=True,
+                           language=args.language)
+    audio = load_audio(args.input, 16000)
+    segs = transcribe(params, dims, tok, audio,
+                      word_timestamps=args.word_timestamps)
+    out = [{k: v for k, v in s.items() if k != "tokens"} for s in segs]
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2, ensure_ascii=False)
+    print(f"transcribe: {len(out)} segments -> {args.output}")
+
+
 def cmd_effects(args):
     from .utils.audio import load_audio, read_wav, save_wav
     from .utils.effects import EffectsSettings, apply_effects
@@ -307,6 +378,38 @@ def build_parser():
     sc.add_argument("--rmvpe-path", default="")
     sc.add_argument("--split-audio", action="store_true")
     sc.set_defaults(func=cmd_convert)
+
+    ss = sub.add_parser("separate")
+    ss.add_argument("--model", required=True,
+                    help="demucs .th checkpoint or .yaml bag")
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--output-vocals", required=True)
+    ss.add_argument("--output-instrumental", default="")
+    ss.add_argument("--shifts", type=int, default=0)
+    ss.add_argument("--invert-using-spec", action="store_true")
+    ss.set_defaults(func=cmd_separate)
+
+    sd = sub.add_parser("create-dataset")
+    sd.add_argument("inputs", nargs="+", help="audio paths or URLs")
+    sd.add_argument("--output", default="./dataset")
+    sd.add_argument("--sample-rate", type=int, default=44100)
+    sd.add_argument("--skip-start", nargs="*", default=[])
+    sd.add_argument("--skip-end", nargs="*", default=[])
+    sd.add_argument("--separator-model", default="",
+                    help="demucs .th for vocal isolation")
+    sd.add_argument("--clean-dataset", action="store_true")
+    sd.add_argument("--clean-strength", type=float, default=0.7)
+    sd.set_defaults(func=cmd_create_dataset)
+
+    sw = sub.add_parser("transcribe")
+    sw.add_argument("--model", required=True, help="whisper .pt")
+    sw.add_argument("--vocab", required=True,
+                    help="multilingual.tiktoken vocab file")
+    sw.add_argument("--input", required=True)
+    sw.add_argument("--output", required=True)
+    sw.add_argument("--language", default="en")
+    sw.add_argument("--word-timestamps", action="store_true")
+    sw.set_defaults(func=cmd_transcribe)
 
     sx = sub.add_parser("effects")
     sx.add_argument("--input", required=True)

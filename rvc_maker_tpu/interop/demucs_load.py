@@ -36,22 +36,33 @@ def _marker(name):
 
 
 def _install_demucs_shims():
-    """Make `demucs.*` unpicklable without the demucs package."""
-    if "demucs" in sys.modules and not getattr(sys.modules["demucs"], "_rvc_shim", False):
-        return  # a real demucs package is installed; let it win
-    root = types.ModuleType("demucs")
-    root._rvc_shim = True
-    for mod_name, classes in {
-        "htdemucs": ["HTDemucs"],
-        "hdemucs": ["HDemucs"],
-        "demucs": ["Demucs"],
-    }.items():
-        m = types.ModuleType(f"demucs.{mod_name}")
-        for c in classes:
-            setattr(m, c, _marker(c))
-        setattr(root, mod_name, m)
-        sys.modules[f"demucs.{mod_name}"] = m
-    sys.modules["demucs"] = root
+    """Make pickled demucs classes loadable without their packages.
+    Covers both upstream paths (demucs.htdemucs.HTDemucs) and the
+    reference's vendored paths
+    (main.library.uvr5_separator.demucs.htdemucs.HTDemucs)."""
+    arch_mods = {"htdemucs": ["HTDemucs"], "hdemucs": ["HDemucs"],
+                 "demucs": ["Demucs"]}
+    roots = ("demucs", "main.library.uvr5_separator.demucs")
+    for root_name in roots:
+        if (root_name.split(".")[0] in sys.modules
+                and not getattr(sys.modules[root_name.split(".")[0]],
+                                "_rvc_shim", False)):
+            continue  # a real package owns this namespace; let it win
+        parts = root_name.split(".")
+        for i in range(len(parts)):
+            name = ".".join(parts[: i + 1])
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                m._rvc_shim = True
+                sys.modules[name] = m
+        root = sys.modules[root_name]
+        for mod_name, classes in arch_mods.items():
+            full = f"{root_name}.{mod_name}"
+            m = sys.modules.get(full) or types.ModuleType(full)
+            for c in classes:
+                setattr(m, c, _marker(c))
+            setattr(root, mod_name, m)
+            sys.modules[full] = m
 
 
 def _config_from(klass, kwargs: dict) -> DemucsConfig:

@@ -98,10 +98,13 @@ def apply_bag(bag: Sequence[tuple[Any, demucs_mod.DemucsConfig, Sequence[float]]
 
 
 def separate_vocals(params: Any, cfg: demucs_mod.DemucsConfig,
-                    audio: np.ndarray, sr: int, **kw):
+                    audio: np.ndarray, sr: int, *,
+                    invert_using_spec: bool = False, **kw):
     """audio: (L,) or (L, 2) at any rate -> (vocals, instrumental) at
     cfg.samplerate, stereo (reference separation flow: sum non-vocal
-    stems into the instrumental)."""
+    stems into the instrumental; invert_using_spec uses spectral
+    subtraction of the vocal stem from the mixture instead —
+    reference common_separator.py spec_utils.invert_stem)."""
     from ..utils.audio import resample
 
     if audio.ndim == 1:
@@ -118,5 +121,13 @@ def separate_vocals(params: Any, cfg: demucs_mod.DemucsConfig,
     stems = stems * ref_std + ref_mean
     v_idx = cfg.sources.index("vocals")
     vocals = stems[0, v_idx].T
-    inst = sum(stems[0, k] for k in range(len(cfg.sources)) if k != v_idx).T
+    if invert_using_spec:
+        from .spec_tools import invert_stem
+
+        inst = invert_stem(audio.T.astype(np.float64),
+                           stems[0, v_idx].astype(np.float64))
+        inst = inst[: len(audio)]
+    else:
+        inst = sum(stems[0, k] for k in range(len(cfg.sources))
+                   if k != v_idx).T
     return vocals.astype(np.float32), inst.astype(np.float32)
