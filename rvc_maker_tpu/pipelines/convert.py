@@ -20,6 +20,7 @@ SURVEY.md §7).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 from functools import partial
@@ -382,27 +383,44 @@ class ConvertPipeline:
         dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
                                 jnp.float32)
 
-        if settings.f0_method in ("rmvpe", "yin", "fcpe", "fcpe-legacy"):
-            f0 = self._stage_f0(settings.f0_method)(
-                self.rmvpe_params, audio, jnp.float32(settings.pitch),
-                jnp.float32(settings.f0_autotune_strength
-                            if settings.f0_autotune else 0.0))
-        else:
-            f0 = jnp.asarray(self._host_f0(settings.f0_method, audio_batch,
-                                           settings))
-        if settings.f0_file:
-            f0 = jnp.asarray(_apply_f0_file(np.asarray(f0), settings))
-        feats, feats0 = self._stage_features(use_index)(
-            self.hubert_params,
-            self.index_vectors if use_index else dummy_index,
-            audio, lengths_d, jnp.float32(settings.index_rate))
+        from ..utils.profiling import profiling_enabled, stage_timer
+
+        prof = profiling_enabled()  # RVC_TPU_PROFILE=1: fenced timings
+        with stage_timer(f"f0:{settings.f0_method}") if prof \
+                else contextlib.nullcontext() as tm:
+            if settings.f0_method in ("rmvpe", "yin", "fcpe",
+                                      "fcpe-legacy"):
+                f0 = self._stage_f0(settings.f0_method)(
+                    self.rmvpe_params, audio, jnp.float32(settings.pitch),
+                    jnp.float32(settings.f0_autotune_strength
+                                if settings.f0_autotune else 0.0))
+            else:
+                f0 = jnp.asarray(self._host_f0(settings.f0_method,
+                                               audio_batch, settings))
+            if settings.f0_file:
+                f0 = jnp.asarray(_apply_f0_file(np.asarray(f0), settings))
+            if prof:
+                tm.result(f0)
+        with stage_timer("features") if prof \
+                else contextlib.nullcontext() as tm:
+            feats, feats0 = self._stage_features(use_index)(
+                self.hubert_params,
+                self.index_vectors if use_index else dummy_index,
+                audio, lengths_d, jnp.float32(settings.index_rate))
+            if prof:
+                tm.result(feats)
         # align features to f0 frames (reference convert.py:364-370):
         # p_len = min(L // window, feature frames) — both static
         p_len = min(L // WINDOW, feats.shape[1])
-        return self._stage_synth()(
-            self.synth_params, feats[:, :p_len], feats0[:, :p_len],
-            f0[:, :p_len], lengths_d, jnp.full((b,), sid, jnp.int32),
-            jnp.float32(settings.protect), rng)
+        with stage_timer("synth") if prof \
+                else contextlib.nullcontext() as tm:
+            out = self._stage_synth()(
+                self.synth_params, feats[:, :p_len], feats0[:, :p_len],
+                f0[:, :p_len], lengths_d, jnp.full((b,), sid, jnp.int32),
+                jnp.float32(settings.protect), rng)
+            if prof:
+                tm.result(out)
+        return out
 
     # -- full single-utterance conversion (reference VC.pipeline) --------
 
