@@ -40,6 +40,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     index_rows = int(os.environ.get("BENCH_INDEX_ROWS", "10000"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | fp32
+    mdb = int(os.environ.get("BENCH_MDB", "16"))
 
     log(f"devices: {jax.devices()}")
     cfg = preset("v2", 48000).model
@@ -60,7 +61,8 @@ def main():
     pipe = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
                            rmvpe_params=rmvpe_params,
                            index_vectors=index_vectors,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           max_device_batch=mdb)
     settings = ConvertSettings(index_rate=0.5, f0_method="rmvpe")
 
     L = int(16000 * seconds)

@@ -164,6 +164,9 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                 export_inference_weights(
                     state, cfg, os.path.join(exp_dir, f"weights_e{epoch}.pth"),
                     epoch=epoch)
+                if tb is not None and n_batches:
+                    _log_eval_sample(tb, state, cfg, batch,
+                                     int(np.asarray(state.step)))
             if stop["now"]:
                 break
     finally:
@@ -171,6 +174,43 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         if tb is not None:
             tb.close()
     return state
+
+
+def _log_eval_sample(tb, state: train_mod.TrainState, cfg: RVCConfig,
+                     batch: train_mod.Batch, step: int) -> None:
+    """Generated audio + mel image for the first item of the last batch
+    (reference train_and_evaluate eval block, train.py:883-895)."""
+    try:
+        import jax.numpy as jnp
+
+        from ..models import synthesizer as syn
+        from ..ops.stft import mel_spectrogram
+
+        params = jax.device_get(state.params_g)
+        m = cfg.model
+        phone = jnp.asarray(np.asarray(batch.phone)[:1])
+        t = phone.shape[1]
+        lengths = jnp.minimum(jnp.asarray(np.asarray(batch.phone_lengths)[:1]),
+                              t)
+        pitch = (jnp.asarray(np.asarray(batch.pitch)[:1]) if m.use_f0
+                 else None)
+        pitchf = jnp.asarray(np.asarray(batch.pitchf)[:1])
+        sid = jnp.asarray(np.asarray(batch.sid)[:1])
+        z = jnp.zeros((1, t, m.inter_channels), jnp.float32)
+        sn = jnp.zeros((1, t * m.upp, 1), jnp.float32)
+        wav, _, _ = syn.infer(params, m, phone, lengths, pitch, pitchf,
+                              sid, z, sn)
+        wav_np = np.asarray(wav)[0, :, 0]
+        tb.audio(step, "eval/generated", wav_np, m.sr)
+        mel = np.asarray(mel_spectrogram(
+            jnp.asarray(wav_np[None]), n_fft=cfg.data.filter_length,
+            n_mels=cfg.data.n_mel_channels, sr=m.sr,
+            hop_length=cfg.data.hop_length,
+            win_length=cfg.data.win_length, fmin=0.0, fmax=None))[0]
+        tb.mel_image(step, "eval/mel_generated", mel)
+        tb.flush()
+    except Exception:  # noqa: BLE001 — eval logging must never kill training
+        logger.exception("eval sample logging failed")
 
 
 def export_inference_weights(state: train_mod.TrainState, cfg: RVCConfig,

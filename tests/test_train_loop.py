@@ -1,0 +1,100 @@
+"""Full train() epoch loop: checkpointing, resume, inference-weight
+export, TB eval logging (train_loop.py vs reference train.py run loop)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from rvc_maker_tpu.config import (DataConfig, ModelConfig, RVCConfig,
+                                  TrainConfig)
+from rvc_maker_tpu.models import hubert as hubert_mod
+from rvc_maker_tpu.pipelines import extract as extract_mod
+from rvc_maker_tpu.pipelines.preprocess import preprocess_dataset
+from rvc_maker_tpu.utils.audio import save_wav
+
+SR = 6400
+HOP = 64
+SEG = 8
+
+CFG = RVCConfig(
+    version="v2",
+    train=TrainConfig(segment_size=SEG * HOP, log_interval=1),
+    data=DataConfig(sample_rate=SR, filter_length=256, hop_length=HOP,
+                    win_length=256, n_mel_channels=32),
+    model=ModelConfig(
+        spec_channels=129, segment_size=SEG, inter_channels=32,
+        hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+        kernel_size=3, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4, 2, 2),
+        upsample_initial_channel=32, upsample_kernel_sizes=(8, 8, 4, 4),
+        spk_embed_dim=4, gin_channels=16, sr=SR, use_f0=True,
+        text_enc_hidden_dim=768),
+)
+
+
+@pytest.mark.slow
+def test_train_loop_end_to_end(tmp_path, monkeypatch):
+    dataset = tmp_path / "dataset" / "0"
+    exp = str(tmp_path / "exp")
+    os.makedirs(dataset)
+
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        t = np.arange(SR * 4) / SR
+        audio = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+                 + rs.randn(len(t)) * 0.01).astype(np.float32)
+        save_wav(str(dataset / f"s{i}.wav"), audio, SR)
+
+    preprocess_dataset(str(tmp_path / "dataset"), exp, SR, per=1.0,
+                       num_workers=1)
+    hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0), n_layers=2)
+    extract_mod.extract_f0(exp, method="yin")
+    extract_mod.extract_embeddings(exp, hubert_params, version="v2")
+    extract_mod.write_mute_fixture(exp, CFG, hubert_params, "v2")
+    extract_mod.generate_filelist(exp, CFG, "v2")
+
+    # narrow discriminators for CPU speed
+    from rvc_maker_tpu.pipelines import train as train_mod
+
+    orig_init, orig_step = train_mod.init_state, train_mod.make_sharded_train_step
+    monkeypatch.setattr(train_mod, "init_state",
+                        lambda rng, cfg, **kw: orig_init(
+                            rng, cfg, disc_width_div=16))
+    monkeypatch.setattr(train_mod, "make_sharded_train_step",
+                        lambda cfg, mesh, **kw: orig_step(
+                            cfg, mesh, disc_width_div=16))
+
+    from jax.sharding import Mesh
+
+    from rvc_maker_tpu.pipelines.train_loop import train
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    state = train(exp, CFG, total_epochs=1, batch_size=2,
+                  save_every_epoch=1, mesh=mesh)
+    step1 = int(np.asarray(state.step))
+    assert step1 > 0
+    assert os.path.isdir(os.path.join(exp, "ckpt_latest"))
+    weights = [f for f in os.listdir(exp) if f.startswith("weights_e")]
+    assert weights, os.listdir(exp)
+
+    # the exported weights load back through the interchange loader
+    from rvc_maker_tpu.interop import load_synthesizer_pth
+
+    params, cfg_loaded, meta = load_synthesizer_pth(
+        os.path.join(exp, weights[0]))
+    assert cfg_loaded.sr == SR and meta["version"] == "v2"
+
+    # TB events exist (scalars + eval audio/mel from _log_eval_sample)
+    tb_dir = os.path.join(exp, "tb")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+    size = sum(os.path.getsize(os.path.join(tb_dir, f))
+               for f in os.listdir(tb_dir))
+    assert size > 1000  # audio + image summaries are much larger than bare scalars
+
+    # resume: epoch 2 continues from the checkpoint
+    state2 = train(exp, CFG, total_epochs=2, batch_size=2,
+                   save_every_epoch=1, mesh=mesh)
+    assert int(np.asarray(state2.step)) > step1
