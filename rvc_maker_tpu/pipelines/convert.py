@@ -148,8 +148,12 @@ class ConvertPipeline:
     def _stage_f0(self, f0_method: str):
         key = ("f0", f0_method)
         if key not in self._step_cache:
-            if f0_method == "rmvpe":
+            if f0_method in ("rmvpe", "rmvpe-legacy"):
                 mb_size = self.rmvpe_microbatch
+                # legacy: band-reject outside [50, 1100] Hz (reference
+                # RMVPE.py:228-234 infer_from_audio_with_pitch)
+                kw = ({"f0_min": 50.0, "f0_max": 1100.0}
+                      if f0_method == "rmvpe-legacy" else {})
 
                 def f0_fn(rmvpe_params, audio, pitch_shift, autotune_strength):
                     b, L = audio.shape
@@ -158,11 +162,12 @@ class ConvertPipeline:
                         # the peak HBM temp (B=32 x 10 s OOMs a v5e);
                         # lax.map keeps one microbatch of temps live
                         f0 = jax.lax.map(
-                            lambda chunk: rmvpe_mod.infer(rmvpe_params, chunk),
+                            lambda chunk: rmvpe_mod.infer(rmvpe_params, chunk,
+                                                          **kw),
                             audio.reshape(b // mb_size, mb_size, L)
                         ).reshape(b, -1)
                     else:
-                        f0 = rmvpe_mod.infer(rmvpe_params, audio)
+                        f0 = rmvpe_mod.infer(rmvpe_params, audio, **kw)
                     f0 = shift_f0(f0, pitch_shift)
                     return jnp.where(autotune_strength > 0,
                                      autotune_f0(f0, autotune_strength), f0)
@@ -324,7 +329,8 @@ class ConvertPipeline:
                                  fmin=50.0, fmax=1100.0,
                                  hop_length=settings.hop_length)[0]
                     f0 = np.where(f0 < 0.001, np.nan, f0)
-                elif m in ("rmvpe", "yin"):
+                elif m in ("rmvpe", "rmvpe-legacy", "yin", "fcpe",
+                           "fcpe-legacy"):
                     f0 = np.asarray(self._stage_f0(m)(
                         self.rmvpe_params, jnp.asarray(audio_batch[i : i + 1]),
                         jnp.float32(0.0), jnp.float32(0.0)))[0]
@@ -388,8 +394,8 @@ class ConvertPipeline:
         prof = profiling_enabled()  # RVC_TPU_PROFILE=1: fenced timings
         with stage_timer(f"f0:{settings.f0_method}") if prof \
                 else contextlib.nullcontext() as tm:
-            if settings.f0_method in ("rmvpe", "yin", "fcpe",
-                                      "fcpe-legacy"):
+            if settings.f0_method in ("rmvpe", "rmvpe-legacy", "yin",
+                                      "fcpe", "fcpe-legacy"):
                 f0 = self._stage_f0(settings.f0_method)(
                     self.rmvpe_params, audio, jnp.float32(settings.pitch),
                     jnp.float32(settings.f0_autotune_strength

