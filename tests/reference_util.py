@@ -10,9 +10,20 @@ from __future__ import annotations
 
 import contextlib
 import importlib
+import importlib.machinery
 import sys
+import types
 
 REFERENCE_ROOT = "/root/reference"
+
+
+def _shim_module(name: str) -> types.ModuleType:
+    """A stub module with a real ModuleSpec: importlib.util.find_spec
+    raises ValueError on modules whose __spec__ is None (transformers
+    probes librosa that way)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
 
 
 def _install_shims():
@@ -22,10 +33,8 @@ def _install_shims():
     modules import at module scope: filters.mel (backed by our own
     filterbank construction) and a `sequence` namespace.
     """
-    import types
-
     if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
+        om = _shim_module("omegaconf")
 
         class DictConfig(dict):
             pass
@@ -41,15 +50,15 @@ def _install_shims():
     if "librosa" not in sys.modules:
         from rvc_maker_tpu.ops.stft import mel_filterbank
 
-        lib = types.ModuleType("librosa")
-        filters = types.ModuleType("librosa.filters")
+        lib = _shim_module("librosa")
+        filters = _shim_module("librosa.filters")
 
         def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, htk=False):
             return mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk)
 
         filters.mel = mel
         lib.filters = filters
-        lib.sequence = types.ModuleType("librosa.sequence")
+        lib.sequence = _shim_module("librosa.sequence")
         sys.modules["librosa"] = lib
         sys.modules["librosa.filters"] = filters
         sys.modules["librosa.sequence"] = lib.sequence
