@@ -3,7 +3,6 @@ imported as buffers).  The reference module imports onnxruntime and
 torchaudio at module scope (absent here) — shimmed with stub modules."""
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -13,18 +12,18 @@ import jax.numpy as jnp
 
 from rvc_maker_tpu.models import fcpe as jfcpe
 
-from reference_util import ref_module
+from reference_util import ref_module, _shim_module
 
 
 def _install_fcpe_shims():
     if "onnxruntime" not in sys.modules:
-        ort = types.ModuleType("onnxruntime")
+        ort = _shim_module("onnxruntime")
         ort.SessionOptions = object
         ort.InferenceSession = object
         sys.modules["onnxruntime"] = ort
     if "torchaudio" not in sys.modules:
-        ta = types.ModuleType("torchaudio")
-        tt = types.ModuleType("torchaudio.transforms")
+        ta = _shim_module("torchaudio")
+        tt = _shim_module("torchaudio.transforms")
 
         class Resample:  # unused in these tests (16 kHz in == model sr)
             def __init__(self, *a, **k):

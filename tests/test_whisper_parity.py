@@ -2,7 +2,6 @@
 tokenizer tests against the shipped tiktoken vocabularies."""
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -13,7 +12,7 @@ import jax.numpy as jnp
 from rvc_maker_tpu.models import whisper as jwhisper
 from rvc_maker_tpu.speaker.whisper_tokenizer import WhisperTokenizer
 
-from reference_util import REFERENCE_ROOT, ref_module
+from reference_util import REFERENCE_ROOT, ref_module, _shim_module
 
 VOCAB = (REFERENCE_ROOT
          + "/assets/models/speaker_diarization/assets/multilingual.tiktoken")
@@ -21,11 +20,11 @@ VOCAB = (REFERENCE_ROOT
 
 def _install_whisper_shims():
     if "tiktoken" not in sys.modules:
-        tk = types.ModuleType("tiktoken")
+        tk = _shim_module("tiktoken")
         tk.Encoding = object
         sys.modules["tiktoken"] = tk
     if "numba" not in sys.modules:
-        nb = types.ModuleType("numba")
+        nb = _shim_module("numba")
 
         def jit(*a, **k):
             def deco(fn):
@@ -43,7 +42,7 @@ def _install_whisper_shims():
         import importlib
 
         importlib.import_module("main.library")
-        stub = types.ModuleType("main.library.utils")
+        stub = _shim_module("main.library.utils")
 
         def load_audio(logger, path, sample_rate=16000, **kw):
             from rvc_maker_tpu.utils.audio import load_audio as la
