@@ -362,7 +362,9 @@ _ONNX_TO_NP = {
 def tensor_from_array(arr, name: str = "") -> TensorProto:
     import numpy as np
 
-    arr = np.ascontiguousarray(arr)
+    # NOT ascontiguousarray: it promotes 0-d arrays to 1-d, which breaks
+    # scalar initializers (Gather indices etc.)
+    arr = np.asarray(arr, order="C")
     dt = _NP_TO_ONNX.get(arr.dtype.name)
     if dt is None:
         raise ValueError(f"unsupported dtype {arr.dtype}")

@@ -1,0 +1,346 @@
+"""JAX ONNX executor vs torch semantics.
+
+Graphs are hand-built with the field layout real exporters emit
+(torch.onnx legacy exporter conventions), weights taken from torch
+modules, outputs compared against running the torch module directly."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from rvc_maker_tpu.interop import onnx_proto as op
+from rvc_maker_tpu.interop.onnx_run import OnnxGraph
+
+
+def node(op_type, inputs, outputs, **attrs):
+    n = op.NodeProto(op_type=op_type, input=list(inputs),
+                     output=list(outputs))
+    for k, v in attrs.items():
+        a = op.AttributeProto(name=k)
+        if isinstance(v, float):
+            a.type, a.f = op.ATTR_FLOAT, v
+        elif isinstance(v, bool) or isinstance(v, int):
+            a.type, a.i = op.ATTR_INT, int(v)
+        elif isinstance(v, str):
+            a.type, a.s = op.ATTR_STRING, v.encode()
+        elif isinstance(v, np.ndarray):
+            a.type, a.t = op.ATTR_TENSOR, op.tensor_from_array(v)
+        elif isinstance(v, (list, tuple)) and v and isinstance(v[0], float):
+            a.type, a.floats = op.ATTR_FLOATS, list(v)
+        elif isinstance(v, (list, tuple)):
+            a.type, a.ints = op.ATTR_INTS, [int(i) for i in v]
+        else:
+            raise TypeError(type(v))
+        n.attribute.append(a)
+    return n
+
+
+def graph(nodes, inputs, outputs, initializers=None):
+    g = op.GraphProto(
+        name="t", node=nodes,
+        input=[op.ValueInfoProto(name=i) for i in inputs],
+        output=[op.ValueInfoProto(name=o) for o in outputs],
+        initializer=[op.tensor_from_array(v, k)
+                     for k, v in (initializers or {}).items()])
+    m = op.ModelProto(ir_version=8, graph=g,
+                      opset_import=[op.OperatorSetIdProto(version=17)])
+    # roundtrip through bytes so the executor exercises the codec too
+    return OnnxGraph(op.decode(op.ModelProto, op.encode(m)))
+
+
+def run1(g, **feeds):
+    return np.asarray(g.run(feeds)[0])
+
+
+RS = np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("stride,pad,dil,groups", [
+    (1, 0, 1, 1), (2, 3, 1, 1), (1, 2, 2, 1), (1, 1, 1, 4)])
+def test_conv1d(stride, pad, dil, groups):
+    tc = torch.nn.Conv1d(8, 12, 5, stride=stride, padding=pad,
+                         dilation=dil, groups=groups)
+    x = torch.randn(2, 8, 37)
+    with torch.no_grad():
+        ref = tc(x).numpy()
+    g = graph([node("Conv", ["x", "w", "b"], ["y"],
+                    strides=[stride], pads=[pad, pad], dilations=[dil],
+                    group=groups, kernel_shape=[5])],
+              ["x"], ["y"],
+              {"w": tc.weight.detach().numpy(), "b": tc.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_same_upper():
+    tc = torch.nn.Conv2d(3, 6, 3, bias=False)
+    x = torch.randn(1, 3, 12, 14)
+    with torch.no_grad():
+        ref = tc(F.pad(x, (1, 1, 1, 1))).numpy()
+    g = graph([node("Conv", ["x", "w"], ["y"], auto_pad="SAME_UPPER",
+                    strides=[1, 1], kernel_shape=[3, 3])],
+              ["x"], ["y"], {"w": tc.weight.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,pad,outpad,groups", [
+    (2, 0, 0, 1), (4, 3, 1, 1), (2, 1, 0, 3)])
+def test_conv_transpose1d(stride, pad, outpad, groups):
+    tc = torch.nn.ConvTranspose1d(6, 9 if groups == 1 else 6, 7,
+                                  stride=stride, padding=pad,
+                                  output_padding=outpad, groups=groups)
+    x = torch.randn(2, 6, 25)
+    with torch.no_grad():
+        ref = tc(x).numpy()
+    g = graph([node("ConvTranspose", ["x", "w", "b"], ["y"],
+                    strides=[stride], pads=[pad, pad],
+                    output_padding=[outpad], group=groups,
+                    kernel_shape=[7])],
+              ["x"], ["y"],
+              {"w": tc.weight.detach().numpy(), "b": tc.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose2d():
+    tc = torch.nn.ConvTranspose2d(4, 5, (3, 5), stride=(2, 3),
+                                  padding=(1, 2), output_padding=(1, 0))
+    x = torch.randn(1, 4, 9, 11)
+    with torch.no_grad():
+        ref = tc(x).numpy()
+    g = graph([node("ConvTranspose", ["x", "w", "b"], ["y"],
+                    strides=[2, 3], pads=[1, 2, 1, 2],
+                    output_padding=[1, 0], kernel_shape=[3, 5])],
+              ["x"], ["y"],
+              {"w": tc.weight.detach().numpy(), "b": tc.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batchnorm_instancenorm_groupnorm_layernorm():
+    x = torch.randn(3, 8, 10)
+    bn = torch.nn.BatchNorm1d(8).eval()
+    bn.running_mean.normal_()
+    bn.running_var.uniform_(0.5, 2.0)
+    with torch.no_grad():
+        ref = bn(x).numpy()
+    g = graph([node("BatchNormalization", ["x", "s", "b", "m", "v"], ["y"],
+                    epsilon=1e-5)],
+              ["x"], ["y"],
+              {"s": bn.weight.detach().numpy(), "b": bn.bias.detach().numpy(),
+               "m": bn.running_mean.numpy(), "v": bn.running_var.numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-4,
+                               atol=1e-5)
+
+    inorm = torch.nn.InstanceNorm1d(8, affine=True)
+    with torch.no_grad():
+        inorm.weight.normal_()
+        inorm.bias.normal_()
+        ref = inorm(x).numpy()
+    g = graph([node("InstanceNormalization", ["x", "s", "b"], ["y"],
+                    epsilon=1e-5)],
+              ["x"], ["y"], {"s": inorm.weight.detach().numpy(),
+                             "b": inorm.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-4,
+                               atol=1e-5)
+
+    gn = torch.nn.GroupNorm(4, 8)
+    with torch.no_grad():
+        gn.weight.normal_()
+        gn.bias.normal_()
+        ref = gn(x).numpy()
+    g = graph([node("GroupNormalization", ["x", "s", "b"], ["y"],
+                    num_groups=4, epsilon=1e-5)],
+              ["x"], ["y"], {"s": gn.weight.detach().numpy(),
+                             "b": gn.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-4,
+                               atol=1e-5)
+
+    ln = torch.nn.LayerNorm(10)
+    with torch.no_grad():
+        ln.weight.normal_()
+        ln.bias.normal_()
+        ref = ln(x).numpy()
+    g = graph([node("LayerNormalization", ["x", "s", "b"], ["y"],
+                    axis=-1, epsilon=1e-5)],
+              ["x"], ["y"], {"s": ln.weight.detach().numpy(),
+                             "b": ln.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_pools():
+    x = torch.randn(2, 3, 17, 19)
+    ref = F.max_pool2d(x, (3, 3), stride=2, padding=1).numpy()
+    g = graph([node("MaxPool", ["x"], ["y"], kernel_shape=[3, 3],
+                    strides=[2, 2], pads=[1, 1, 1, 1])], ["x"], ["y"])
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-5,
+                               atol=1e-6)
+
+    ref = F.avg_pool2d(x, (2, 2), stride=2).numpy()
+    g = graph([node("AveragePool", ["x"], ["y"], kernel_shape=[2, 2],
+                    strides=[2, 2])], ["x"], ["y"])
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-5,
+                               atol=1e-6)
+
+    ref = x.mean(dim=(2, 3), keepdim=True).numpy()
+    g = graph([node("GlobalAveragePool", ["x"], ["y"])], ["x"], ["y"])
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_gemm_matmul():
+    lin = torch.nn.Linear(7, 5)
+    x = torch.randn(4, 7)
+    with torch.no_grad():
+        ref = lin(x).numpy()
+    g = graph([node("Gemm", ["x", "w", "b"], ["y"], alpha=1.0, beta=1.0,
+                    transB=1)],
+              ["x"], ["y"],
+              {"w": lin.weight.detach().numpy(),
+               "b": lin.bias.detach().numpy()})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-4,
+                               atol=1e-5)
+
+    a = RS.randn(2, 3, 4, 5).astype(np.float32)
+    b = RS.randn(5, 6).astype(np.float32)
+    g = graph([node("MatMul", ["a", "b"], ["y"])], ["a", "b"], ["y"])
+    np.testing.assert_allclose(np.asarray(g.run({"a": a, "b": b})[0]),
+                               a @ b, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_nearest_and_linear():
+    x = torch.randn(1, 4, 10)
+    ref = F.interpolate(x, scale_factor=2, mode="nearest").numpy()
+    g = graph([node("Resize", ["x", "", "scales"], ["y"], mode="nearest",
+                    coordinate_transformation_mode="asymmetric",
+                    nearest_mode="floor")],
+              ["x"], ["y"],
+              {"scales": np.array([1, 1, 2], np.float32)})
+    np.testing.assert_allclose(run1(g, x=x.numpy()), ref, rtol=1e-5,
+                               atol=1e-6)
+
+    x2 = torch.randn(1, 2, 8, 8)
+    ref = F.interpolate(x2, scale_factor=2, mode="bilinear",
+                        align_corners=False).numpy()
+    g = graph([node("Resize", ["x", "", "scales"], ["y"], mode="linear",
+                    coordinate_transformation_mode="half_pixel")],
+              ["x"], ["y"],
+              {"scales": np.array([1, 1, 2, 2], np.float32)})
+    np.testing.assert_allclose(run1(g, x=x2.numpy()), ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_shape_pipeline_stays_static_under_jit():
+    """Shape -> Gather -> Unsqueeze -> Concat -> Reshape: the classic
+    torch.onnx dynamic-reshape idiom must trace statically."""
+    nodes = [
+        node("Shape", ["x"], ["shp"]),
+        node("Gather", ["shp", "i0"], ["d0"], axis=0),
+        node("Unsqueeze", ["d0", "ax0"], ["d0u"]),
+        node("Concat", ["d0u", "minus1"], ["tgt"], axis=0),
+        node("Reshape", ["x", "tgt"], ["y"]),
+        node("Relu", ["y"], ["z"]),
+    ]
+    g = graph(nodes, ["x"], ["z"],
+              {"i0": np.array(0, np.int64),
+               "ax0": np.array([0], np.int64),
+               "minus1": np.array([-1], np.int64)})
+    x = RS.randn(3, 4, 5).astype(np.float32)
+    out = run1(g, x=x)
+    np.testing.assert_allclose(out, np.maximum(x.reshape(3, -1), 0))
+    fn = g.jit()
+    out2 = np.asarray(fn(x)[0])
+    np.testing.assert_allclose(out2, out, rtol=1e-6, atol=1e-6)
+
+
+def test_slice_pad_split_expand_where():
+    x = RS.randn(4, 10, 6).astype(np.float32)
+    # Slice with negative step on axis 1
+    g = graph([node("Slice", ["x", "st", "en", "ax", "sp"], ["y"])],
+              ["x"], ["y"],
+              {"st": np.array([-1], np.int64),
+               "en": np.array([-(2**63)], np.int64),
+               "ax": np.array([1], np.int64),
+               "sp": np.array([-2], np.int64)})
+    np.testing.assert_array_equal(run1(g, x=x), x[:, ::-1, :][:, ::2, :])
+
+    # reflect Pad (opset-11 style pads input)
+    t = torch.from_numpy(x)
+    ref = F.pad(t, (2, 3), mode="reflect").numpy()
+    g = graph([node("Pad", ["x", "pads"], ["y"], mode="reflect")],
+              ["x"], ["y"],
+              {"pads": np.array([0, 0, 2, 0, 0, 3], np.int64)})
+    np.testing.assert_array_equal(run1(g, x=x), ref)
+
+    # Split sizes input
+    g = graph([node("Split", ["x", "sz"], ["a", "b"], axis=1)],
+              ["x"], ["a", "b"], {"sz": np.array([3, 7], np.int64)})
+    outs = g.run({"x": x})
+    np.testing.assert_array_equal(np.asarray(outs[0]), x[:, :3])
+    np.testing.assert_array_equal(np.asarray(outs[1]), x[:, 3:])
+
+    # Expand + Where
+    c = (x[..., :1] > 0)
+    g = graph([node("Expand", ["c", "shape"], ["ce"]),
+               node("Where", ["ce", "x", "negx"], ["y"])],
+              ["c", "x", "negx"], ["y"],
+              {"shape": np.array([4, 10, 6], np.int64)})
+    out = np.asarray(g.run({"c": c, "x": x, "negx": -x})[0])
+    np.testing.assert_array_equal(out, np.where(c, x, -x))
+
+
+def test_reduce_argmax_cumsum_cast():
+    x = RS.randn(3, 5, 7).astype(np.float32)
+    g = graph([node("ReduceMean", ["x"], ["y"], axes=[-1], keepdims=1)],
+              ["x"], ["y"])
+    np.testing.assert_allclose(run1(g, x=x), x.mean(-1, keepdims=True),
+                               rtol=1e-5, atol=1e-6)
+    g = graph([node("ArgMax", ["x"], ["y"], axis=1, keepdims=0)],
+              ["x"], ["y"])
+    np.testing.assert_array_equal(run1(g, x=x), x.argmax(1))
+    g = graph([node("CumSum", ["x", "ax"], ["y"])], ["x"], ["y"],
+              {"ax": np.array(2, np.int64)})
+    np.testing.assert_allclose(run1(g, x=x), np.cumsum(x, 2), rtol=1e-5,
+                               atol=1e-5)
+    g = graph([node("Cast", ["x"], ["y"], to=op.INT64)], ["x"], ["y"])
+    assert run1(g, x=x).dtype == np.int64
+
+
+def test_unknown_op_raises():
+    g_nodes = [node("TotallyMadeUpOp", ["x"], ["y"])]
+    with pytest.raises(NotImplementedError, match="TotallyMadeUpOp"):
+        graph(g_nodes, ["x"], ["y"])
+
+
+def test_small_cnn_end_to_end_jit():
+    """A little conv->bn->relu->pool->gemm net vs torch, via jit()."""
+    torch.manual_seed(3)
+    net = torch.nn.Sequential(
+        torch.nn.Conv2d(1, 4, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2), torch.nn.Flatten(),
+        torch.nn.Linear(4 * 4 * 4, 3)).eval()
+    x = torch.randn(2, 1, 8, 8)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    conv, lin = net[0], net[4]
+    nodes = [
+        node("Conv", ["x", "cw", "cb"], ["c"], strides=[1, 1],
+             pads=[1, 1, 1, 1], kernel_shape=[3, 3]),
+        node("Relu", ["c"], ["r"]),
+        node("MaxPool", ["r"], ["p"], kernel_shape=[2, 2], strides=[2, 2]),
+        node("Flatten", ["p"], ["f"], axis=1),
+        node("Gemm", ["f", "lw", "lb"], ["y"], transB=1),
+    ]
+    g = graph(nodes, ["x"], ["y"],
+              {"cw": conv.weight.detach().numpy(),
+               "cb": conv.bias.detach().numpy(),
+               "lw": lin.weight.detach().numpy(),
+               "lb": lin.bias.detach().numpy()})
+    fn = g.jit()
+    np.testing.assert_allclose(np.asarray(fn(x.numpy())[0]), ref,
+                               rtol=1e-4, atol=1e-5)
