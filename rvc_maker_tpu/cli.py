@@ -112,14 +112,15 @@ def cmd_convert(args):
 
         apply_preset_to_args(args, load_preset(args.preset))
 
-    from .interop import load_synthesizer_pth
+    from .interop.onnx_voice import load_voice_model
     from .models import hubert as hubert_mod
     from .pipelines.convert import ConvertPipeline, ConvertSettings
     from .retrieval import load_index
     from .utils.audio import load_audio, save_wav
 
     _setup_logging(None)
-    synth_params, cfg, meta = load_synthesizer_pth(args.model)
+    # .pth -> params pytree; .onnx -> OnnxVoiceModel (JAX ONNX executor)
+    synth_params, cfg, meta = load_voice_model(args.model)
     version = meta.get("version", "v2")
     if args.embedder_path:
         hubert_params = hubert_mod.load_fairseq_pt(args.embedder_path)
@@ -293,6 +294,14 @@ def cmd_info(args):
     print(json.dumps(model_info(args.model), indent=2, default=str))
 
 
+def cmd_export_onnx(args):
+    from .interop.onnx_voice import export_voice_model
+
+    out = export_voice_model(args.model, args.output,
+                             max_frames=args.max_frames)
+    print(f"exported -> {out}")
+
+
 def cmd_tensorboard(args):
     from .pipelines.tb_logging import launch_tensorboard
 
@@ -434,6 +443,16 @@ def build_parser():
     sn = sub.add_parser("info")
     sn.add_argument("--model", required=True)
     sn.set_defaults(func=cmd_info)
+
+    so = sub.add_parser("export-onnx",
+                        help="export an interchange .pth to .onnx "
+                             "(reference onnx_export.py equivalent)")
+    so.add_argument("--model", required=True, help="interchange .pth")
+    so.add_argument("--output", required=True, help="output .onnx path")
+    so.add_argument("--max-frames", type=int, default=800,
+                    help="static frame capacity of the exported graph "
+                         "(graphs are shape-specialized like XLA programs)")
+    so.set_defaults(func=cmd_export_onnx)
 
     sb = sub.add_parser("tensorboard")
     sb.add_argument("--logdir", required=True)

@@ -1,0 +1,622 @@
+"""Export jitted JAX functions to ONNX by translating their jaxpr.
+
+The reference exports voice models with torch.onnx.export + onnxsim
+(main/library/algorithm/onnx_export.py:16-50).  We are not torch: the
+TPU-native equivalent is tracing the jitted inference function to a jaxpr
+(exactly what XLA compiles) and lowering each primitive to ONNX ops.  The
+result is a standalone `.onnx` interchange file carrying the same
+`model_info` metadata JSON the reference embeds.
+
+Scope: the primitive set used by our model zoo's inference paths
+(synthesizer/NSF-HiFiGAN, HuBERT, RMVPE, CREPE — convs incl. transposed,
+dot_general, attention index arithmetic, cumsum phase accumulation).
+Anything else raises NotImplementedError with the primitive name.
+
+Notes:
+  * parameters become ONNX initializers; only true activations are inputs
+  * jax convs with lhs_dilation (transposed convs) are lowered to
+    zero-stuffing (Unsqueeze+Pad+Reshape) + ordinary Conv — always correct,
+    for any stride/group/dilation combination
+  * randomness is NOT traced into the graph: export functions that take
+    noise as explicit inputs (our infer() does)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import onnx_proto as op
+
+
+def _np_attr(builder, v):
+    a = np.asarray(v)
+    return a
+
+
+class OnnxBuilder:
+    def __init__(self):
+        self.nodes: list[op.NodeProto] = []
+        self.initializers: dict[str, np.ndarray] = {}
+        self._n = 0
+
+    def fresh(self, hint="v") -> str:
+        self._n += 1
+        return f"{hint}_{self._n}"
+
+    def const(self, arr, hint="c") -> str:
+        name = self.fresh(hint)
+        self.initializers[name] = np.asarray(arr)
+        return name
+
+    def add(self, op_type, inputs, n_out=1, outputs=None, **attrs):
+        outs = outputs or [self.fresh(op_type.lower()) for _ in range(n_out)]
+        node = op.NodeProto(op_type=op_type, input=list(inputs),
+                            output=list(outs))
+        for k, v in attrs.items():
+            if v is None:
+                continue
+            a = op.AttributeProto(name=k)
+            if isinstance(v, float):
+                a.type, a.f = op.ATTR_FLOAT, v
+            elif isinstance(v, (bool, int, np.integer)):
+                a.type, a.i = op.ATTR_INT, int(v)
+            elif isinstance(v, str):
+                a.type, a.s = op.ATTR_STRING, v.encode()
+            elif isinstance(v, np.ndarray):
+                a.type, a.t = op.ATTR_TENSOR, op.tensor_from_array(v)
+            elif isinstance(v, (list, tuple)) and v and isinstance(v[0], float):
+                a.type, a.floats = op.ATTR_FLOATS, [float(x) for x in v]
+            elif isinstance(v, (list, tuple)):
+                a.type, a.ints = op.ATTR_INTS, [int(x) for x in v]
+            else:  # pragma: no cover
+                raise TypeError(f"attr {k}: {type(v)}")
+            node.attribute.append(a)
+        self.nodes.append(node)
+        return outs if n_out != 1 else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# primitive translators: fn(builder, eqn, in_names, avals) -> [out_names]
+# ---------------------------------------------------------------------------
+
+_PRIMS = {}
+
+
+def _prim(name):
+    def deco(fn):
+        _PRIMS[name] = fn
+        return fn
+    return deco
+
+
+def _simple(name, onnx_op):
+    @_prim(name)
+    def run(b, eqn, ins):
+        return [b.add(onnx_op, ins)]
+
+
+for _jax, _onnx in [
+        ("add", "Add"), ("sub", "Sub"), ("mul", "Mul"), ("div", "Div"),
+        ("max", "Max"), ("min", "Min"), ("pow", "Pow"),
+        ("exp", "Exp"), ("log", "Log"), ("tanh", "Tanh"), ("sin", "Sin"),
+        ("cos", "Cos"), ("sqrt", "Sqrt"), ("neg", "Neg"), ("abs", "Abs"),
+        ("sign", "Sign"), ("floor", "Floor"), ("ceil", "Ceil"),
+        ("round", "Round"), ("erf", "Erf"), ("logistic", "Sigmoid"),
+        ("and", "And"), ("or", "Or"), ("not", "Not"),
+        ("stop_gradient", "Identity"), ("copy", "Identity"),
+        ("ge", "GreaterOrEqual"), ("gt", "Greater"),
+        ("le", "LessOrEqual"), ("lt", "Less"), ("eq", "Equal")]:
+    _simple(_jax, _onnx)
+
+
+@_prim("ne")
+def _ne(b, eqn, ins):
+    return [b.add("Not", [b.add("Equal", ins)])]
+
+
+@_prim("rem")
+def _rem(b, eqn, ins):
+    return [b.add("Mod", ins, fmod=1)]
+
+
+@_prim("rsqrt")
+def _rsqrt(b, eqn, ins):
+    return [b.add("Reciprocal", [b.add("Sqrt", ins)])]
+
+
+@_prim("square")
+def _square(b, eqn, ins):
+    return [b.add("Mul", [ins[0], ins[0]])]
+
+
+@_prim("integer_pow")
+def _integer_pow(b, eqn, ins):
+    y = int(eqn.params["y"])
+    dt = eqn.invars[0].aval.dtype
+    e = b.const(np.asarray(y, dt))
+    return [b.add("Pow", [ins[0], e])]
+
+
+@_prim("clamp")
+def _clamp(b, eqn, ins):
+    lo, x, hi = ins
+    return [b.add("Min", [b.add("Max", [x, lo]), hi])]
+
+
+@_prim("convert_element_type")
+def _convert(b, eqn, ins):
+    dt = np.dtype(eqn.params["new_dtype"])
+    return [b.add("Cast", ins, to=op._NP_TO_ONNX[dt.name])]
+
+
+@_prim("select_n")
+def _select_n(b, eqn, ins):
+    if len(ins) != 3:
+        raise NotImplementedError(f"select_n with {len(ins) - 1} cases")
+    pred, on_false, on_true = ins
+    if eqn.invars[0].aval.dtype != np.bool_:
+        pred = b.add("Cast", [pred], to=op.BOOL)
+    return [b.add("Where", [pred, on_true, on_false])]
+
+
+@_prim("transpose")
+def _transpose(b, eqn, ins):
+    return [b.add("Transpose", ins, perm=list(eqn.params["permutation"]))]
+
+
+@_prim("reshape")
+def _reshape(b, eqn, ins):
+    shape = b.const(np.asarray(eqn.params["new_sizes"], np.int64))
+    return [b.add("Reshape", [ins[0], shape])]
+
+
+@_prim("squeeze")
+def _squeeze(b, eqn, ins):
+    shape = b.const(np.asarray(eqn.outvars[0].aval.shape, np.int64))
+    return [b.add("Reshape", [ins[0], shape])]
+
+
+@_prim("expand_dims")
+def _expand_dims(b, eqn, ins):
+    shape = b.const(np.asarray(eqn.outvars[0].aval.shape, np.int64))
+    return [b.add("Reshape", [ins[0], shape])]
+
+
+@_prim("broadcast_in_dim")
+def _broadcast(b, eqn, ins):
+    shape = list(eqn.params["shape"])
+    bdims = list(eqn.params["broadcast_dimensions"])
+    in_shape = eqn.invars[0].aval.shape
+    # step 1: reshape to rank-matched shape with 1s
+    mid = [1] * len(shape)
+    for i, d in enumerate(bdims):
+        mid[d] = in_shape[i]
+    x = ins[0]
+    if list(in_shape) != mid:
+        x = b.add("Reshape", [x, b.const(np.asarray(mid, np.int64))])
+    if mid != shape:
+        x = b.add("Expand", [x, b.const(np.asarray(shape, np.int64))])
+    return [x]
+
+
+@_prim("concatenate")
+def _concat(b, eqn, ins):
+    return [b.add("Concat", ins, axis=int(eqn.params["dimension"]))]
+
+
+@_prim("split")
+def _split(b, eqn, ins):
+    sizes = b.const(np.asarray(eqn.params["sizes"], np.int64))
+    n = len(eqn.params["sizes"])
+    outs = b.add("Split", [ins[0], sizes], n_out=n,
+                 axis=int(eqn.params["axis"]))
+    return outs if isinstance(outs, list) else [outs]
+
+
+@_prim("slice")
+def _slice(b, eqn, ins):
+    starts = list(eqn.params["start_indices"])
+    ends = list(eqn.params["limit_indices"])
+    strides = eqn.params["strides"]
+    strides = list(strides) if strides is not None else [1] * len(starts)
+    axes = list(range(len(starts)))
+    return [b.add("Slice", [
+        ins[0], b.const(np.asarray(starts, np.int64)),
+        b.const(np.asarray(ends, np.int64)),
+        b.const(np.asarray(axes, np.int64)),
+        b.const(np.asarray(strides, np.int64))])]
+
+
+@_prim("rev")
+def _rev(b, eqn, ins):
+    dims = list(eqn.params["dimensions"])
+    n = len(dims)
+    big = 2 ** 62
+    return [b.add("Slice", [
+        ins[0], b.const(np.full(n, -1, np.int64)),
+        b.const(np.full(n, -big, np.int64)),
+        b.const(np.asarray(dims, np.int64)),
+        b.const(np.full(n, -1, np.int64))])]
+
+
+@_prim("pad")
+def _pad(b, eqn, ins):
+    cfg = eqn.params["padding_config"]
+    if any(inner for _, _, inner in cfg):
+        raise NotImplementedError("pad with interior padding")
+    los = [lo for lo, _, _ in cfg]
+    his = [hi for _, hi, _ in cfg]
+    x = ins[0]
+    if any(p > 0 for p in los + his):
+        pads = [max(p, 0) for p in los] + [max(p, 0) for p in his]
+        x = b.add("Pad", [x, b.const(np.asarray(pads, np.int64)), ins[1]],
+                  mode="constant")
+    if any(p < 0 for p in los + his):
+        nd = len(cfg)
+        starts = [-min(lo, 0) for lo in los]
+        ends = [2 ** 62 + min(hi, 0) for hi in his]
+        x = b.add("Slice", [
+            x, b.const(np.asarray(starts, np.int64)),
+            b.const(np.asarray(ends, np.int64)),
+            b.const(np.arange(nd, dtype=np.int64)),
+            b.const(np.ones(nd, np.int64))])
+    return [x]
+
+
+@_prim("iota")
+def _iota(b, eqn, ins):
+    shape = list(eqn.params["shape"])
+    dim = int(eqn.params["dimension"])
+    dt = np.dtype(eqn.params["dtype"])
+    n = shape[dim]
+    r = b.add("Range", [b.const(np.asarray(0, np.int64)),
+                        b.const(np.asarray(n, np.int64)),
+                        b.const(np.asarray(1, np.int64))])
+    if dt != np.int64:
+        r = b.add("Cast", [r], to=op._NP_TO_ONNX[dt.name])
+    mid = [1] * len(shape)
+    mid[dim] = n
+    r = b.add("Reshape", [r, b.const(np.asarray(mid, np.int64))])
+    if mid != shape:
+        r = b.add("Expand", [r, b.const(np.asarray(shape, np.int64))])
+    return [r]
+
+
+@_prim("cumsum")
+def _cumsum(b, eqn, ins):
+    if eqn.params.get("reverse"):
+        raise NotImplementedError("reverse cumsum")
+    ax = b.const(np.asarray(eqn.params["axis"], np.int64))
+    return [b.add("CumSum", [ins[0], ax])]
+
+
+def _reduce(jax_name, onnx_name):
+    @_prim(jax_name)
+    def run(b, eqn, ins):
+        axes = b.const(np.asarray(eqn.params["axes"], np.int64))
+        return [b.add(onnx_name, [ins[0], axes], keepdims=0)]
+
+
+_reduce("reduce_sum", "ReduceSum")
+_reduce("reduce_max", "ReduceMax")
+_reduce("reduce_min", "ReduceMin")
+_reduce("reduce_prod", "ReduceProd")
+
+
+@_prim("argmax")
+def _argmax(b, eqn, ins):
+    axes = eqn.params["axes"]
+    if len(axes) != 1:
+        raise NotImplementedError("argmax over multiple axes")
+    out = b.add("ArgMax", ins, axis=int(axes[0]), keepdims=0)
+    dt = np.dtype(eqn.params["index_dtype"])
+    if dt != np.int64:
+        out = b.add("Cast", [out], to=op._NP_TO_ONNX[dt.name])
+    return [out]
+
+
+@_prim("dot_general")
+def _dot_general(b, eqn, ins):
+    ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
+    lhs_aval, rhs_aval = eqn.invars[0].aval, eqn.invars[1].aval
+    lshape, rshape = list(lhs_aval.shape), list(rhs_aval.shape)
+    lfree = [i for i in range(len(lshape)) if i not in lc and i not in lb]
+    rfree = [i for i in range(len(rshape)) if i not in rc and i not in rb]
+    lperm = list(lb) + lfree + list(lc)
+    rperm = list(rb) + list(rc) + rfree
+
+    def prod(idx, shape):
+        out = 1
+        for i in idx:
+            out *= shape[i]
+        return out
+
+    B = prod(lb, lshape)
+    L = prod(lfree, lshape)
+    C = prod(lc, lshape)
+    R = prod(rfree, rshape)
+    a = b.add("Transpose", [ins[0]], perm=lperm) if lperm != list(
+        range(len(lshape))) else ins[0]
+    a = b.add("Reshape", [a, b.const(np.asarray([B, L, C], np.int64))])
+    c = b.add("Transpose", [ins[1]], perm=rperm) if rperm != list(
+        range(len(rshape))) else ins[1]
+    c = b.add("Reshape", [c, b.const(np.asarray([B, C, R], np.int64))])
+    y = b.add("MatMul", [a, c])
+    out_shape = ([lshape[i] for i in lb] + [lshape[i] for i in lfree]
+                 + [rshape[i] for i in rfree])
+    return [b.add("Reshape", [y, b.const(np.asarray(out_shape, np.int64))])]
+
+
+@_prim("conv_general_dilated")
+def _conv(b, eqn, ins):
+    p = eqn.params
+    dn = p["dimension_numbers"]
+    lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
+    nd = len(lhs_spec) - 2
+    strides = list(p["window_strides"])
+    padding = [list(pr) for pr in p["padding"]]
+    lhs_dil = list(p["lhs_dilation"] or [1] * nd)
+    rhs_dil = list(p["rhs_dilation"] or [1] * nd)
+    groups = int(p["feature_group_count"])
+    if int(p.get("batch_group_count", 1) or 1) != 1:
+        raise NotImplementedError("batch_group_count")
+
+    x = ins[0]
+    if list(lhs_spec) != list(range(nd + 2)):
+        x = b.add("Transpose", [x], perm=list(lhs_spec))
+    w = ins[1]
+    if list(rhs_spec) != list(range(nd + 2)):
+        w = b.add("Transpose", [w], perm=list(rhs_spec))
+
+    x_shape = [eqn.invars[0].aval.shape[i] for i in lhs_spec]
+
+    # input dilation (transposed conv) -> zero-stuff each spatial dim
+    for d in range(nd):
+        s = lhs_dil[d]
+        if s == 1:
+            continue
+        ax = 2 + d
+        rank = nd + 2
+        # (…, T, …) -> (…, T, 1, …) -> pad -> (…, T*s, …) -> trim s-1
+        unsq = b.add("Unsqueeze", [x, b.const(np.asarray([ax + 1], np.int64))])
+        pads = np.zeros(2 * (rank + 1), np.int64)
+        pads[(rank + 1) + ax + 1] = s - 1  # end-pad the inserted axis
+        zero = b.const(np.asarray(0, np.dtype(eqn.invars[0].aval.dtype)))
+        padded = b.add("Pad", [unsq, b.const(pads), zero], mode="constant")
+        new_shape = list(x_shape)
+        new_shape[ax] = x_shape[ax] * s
+        x = b.add("Reshape", [padded,
+                              b.const(np.asarray(new_shape, np.int64))])
+        # drop the trailing s-1 stuffed zeros
+        starts = np.zeros(1, np.int64)
+        ends = np.asarray([new_shape[ax] - (s - 1)], np.int64)
+        x = b.add("Slice", [x, b.const(starts), b.const(ends),
+                            b.const(np.asarray([ax], np.int64)),
+                            b.const(np.ones(1, np.int64))])
+        x_shape[ax] = new_shape[ax] - (s - 1)
+
+    # negative jax padding -> Slice before Conv
+    if any(lo < 0 or hi < 0 for lo, hi in padding):
+        starts = [-min(lo, 0) for lo, hi in padding]
+        ends = [2 ** 62 + min(hi, 0) for lo, hi in padding]
+        x = b.add("Slice", [
+            x, b.const(np.asarray(starts, np.int64)),
+            b.const(np.asarray(ends, np.int64)),
+            b.const(np.arange(2, nd + 2, dtype=np.int64)),
+            b.const(np.ones(nd, np.int64))])
+        padding = [[max(lo, 0), max(hi, 0)] for lo, hi in padding]
+
+    kernel_shape = [eqn.invars[1].aval.shape[rhs_spec[2 + i]]
+                    for i in range(nd)]
+    pads = [pr[0] for pr in padding] + [pr[1] for pr in padding]
+    y = b.add("Conv", [x, w], strides=strides, pads=pads,
+              dilations=rhs_dil, group=groups, kernel_shape=kernel_shape)
+    inv = [0] * (nd + 2)
+    for i, d in enumerate(out_spec):
+        inv[d] = i
+    if inv != list(range(nd + 2)):
+        y = b.add("Transpose", [y], perm=inv)
+    return [y]
+
+
+@_prim("dynamic_slice")
+def _dynamic_slice(b, eqn, ins):
+    x = ins[0]
+    starts = ins[1:]
+    sizes = list(eqn.params["slice_sizes"])
+    nd = len(sizes)
+    # runtime starts: build starts tensor via Concat of Unsqueezed scalars
+    parts = []
+    for s, v in zip(starts, eqn.invars[1:]):
+        u = b.add("Reshape", [s, b.const(np.asarray([1], np.int64))])
+        if np.dtype(v.aval.dtype) != np.int64:
+            u = b.add("Cast", [u], to=op.INT64)
+        parts.append(u)
+    st = b.add("Concat", parts, axis=0) if len(parts) > 1 else parts[0]
+    # clamp starts to [0, dim - size] like lax semantics
+    dims = np.asarray([eqn.invars[0].aval.shape[i] for i in range(nd)],
+                      np.int64)
+    limit = b.const(dims - np.asarray(sizes, np.int64))
+    st = b.add("Min", [b.add("Max", [st, b.const(np.zeros(nd, np.int64))]),
+                       limit])
+    en = b.add("Add", [st, b.const(np.asarray(sizes, np.int64))])
+    return [b.add("Slice", [x, st, en,
+                            b.const(np.arange(nd, dtype=np.int64)),
+                            b.const(np.ones(nd, np.int64))])]
+
+
+@_prim("gather")
+def _gather(b, eqn, ins):
+    """Supports the patterns jnp.take / embedding lookups trace to:
+    single collapsed axis, full slices elsewhere."""
+    p = eqn.params
+    dnums = p["dimension_numbers"]
+    slice_sizes = list(p["slice_sizes"])
+    operand = eqn.invars[0].aval
+    indices = eqn.invars[1].aval
+    # pattern: index_vector_dim is last, one start_index_map axis g,
+    # slice covers whole operand except axis g (collapsed)
+    if (len(dnums.start_index_map) == 1
+            and dnums.collapsed_slice_dims == (dnums.start_index_map[0],)
+            and slice_sizes[dnums.start_index_map[0]] == 1
+            and all(slice_sizes[i] == operand.shape[i]
+                    for i in range(len(slice_sizes))
+                    if i != dnums.start_index_map[0])):
+        axis = dnums.start_index_map[0]
+        idx = ins[1]
+        # indices shape (..., 1) -> squeeze the index-vector dim
+        if indices.shape and indices.shape[-1] == 1:
+            idx = b.add("Reshape", [idx, b.const(
+                np.asarray(indices.shape[:-1], np.int64))])
+        out = b.add("Gather", [ins[0], idx], axis=axis)
+        # jax output: batch dims of indices replace the collapsed axis and
+        # land at offset_dims complement — for axis-0 takes this matches
+        # ONNX Gather; reshape to the traced output shape for safety
+        out = b.add("Reshape", [out, b.const(
+            np.asarray(eqn.outvars[0].aval.shape, np.int64))])
+        return [out]
+    raise NotImplementedError(
+        f"general gather: dnums={dnums} sizes={slice_sizes}")
+
+
+# recursion into sub-jaxprs -------------------------------------------------
+
+def _inline(b, closed, ins, env_literals=True):
+    return _translate_jaxpr(b, closed.jaxpr, closed.consts, ins)
+
+
+@_prim("pjit")
+def _pjit(b, eqn, ins):
+    return _inline(b, eqn.params["jaxpr"], ins)
+
+
+@_prim("jit")
+def _jit(b, eqn, ins):
+    return _inline(b, eqn.params["jaxpr"], ins)
+
+
+@_prim("custom_jvp_call")
+def _custom_jvp(b, eqn, ins):
+    return _inline(b, eqn.params["call_jaxpr"], ins)
+
+
+@_prim("custom_vjp_call")
+def _custom_vjp(b, eqn, ins):
+    return _inline(b, eqn.params["call_jaxpr"], ins)
+
+
+@_prim("remat")
+def _remat(b, eqn, ins):
+    from jax._src.core import ClosedJaxpr
+    j = eqn.params["jaxpr"]
+    if not hasattr(j, "consts"):
+        j = ClosedJaxpr(j, ())
+    return _inline(b, j, ins)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _translate_jaxpr(b: OnnxBuilder, jaxpr, consts, in_names):
+    env = {}
+
+    def read(v):
+        from jax._src.core import Literal
+
+        if isinstance(v, Literal):
+            val = np.asarray(v.val)
+            return b.const(val, "lit")
+        return env[v]
+
+    for var, name in zip(jaxpr.constvars, consts):
+        env[var] = b.const(np.asarray(name), "const")
+    for var, name in zip(jaxpr.invars, in_names):
+        env[var] = name
+
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        fn = _PRIMS.get(prim)
+        if fn is None:
+            raise NotImplementedError(f"no ONNX lowering for primitive "
+                                      f"{prim!r}")
+        ins = [read(v) for v in eqn.invars]
+        outs = fn(b, eqn, ins)
+        for var, name in zip(eqn.outvars, outs):
+            env[var] = name
+    return [read(v) for v in jaxpr.outvars]
+
+
+def _value_info(name, aval=None, shape=None, dtype=None):
+    vi = op.ValueInfoProto(name=name)
+    if aval is not None:
+        shape, dtype = aval.shape, aval.dtype
+    if dtype is not None:
+        tt = op.TypeProtoTensor(
+            elem_type=op._NP_TO_ONNX[np.dtype(dtype).name],
+            shape=op.TensorShapeProto(
+                dim=[op.TensorShapeDim(dim_value=int(d)) for d in shape]))
+        vi.type = op.TypeProto(tensor_type=tt)
+    return vi
+
+
+def export_onnx(fn, example_args, *, params=None, input_names,
+                output_names, metadata=None, producer="rvc_maker_tpu",
+                opset=17) -> op.ModelProto:
+    """Trace fn(params, *example_args) (or fn(*example_args) if params is
+    None) and lower the jaxpr to an ONNX ModelProto.
+
+    params (a pytree) becomes initializers; example_args become graph
+    inputs named input_names (in flattened pytree order)."""
+    if params is not None:
+        closed = jax.make_jaxpr(fn)(params, *example_args)
+        flat_params, _ = jax.tree_util.tree_flatten(params)
+        n_params = len(flat_params)
+    else:
+        closed = jax.make_jaxpr(fn)(*example_args)
+        flat_params, n_params = [], 0
+    flat_args = jax.tree_util.tree_leaves(example_args)
+    if len(input_names) != len(flat_args):
+        raise ValueError(f"{len(flat_args)} traced inputs but "
+                         f"{len(input_names)} input_names")
+
+    b = OnnxBuilder()
+    names = []
+    invars = closed.jaxpr.invars
+    for i, leaf in enumerate(flat_params):
+        names.append(b.const(np.asarray(leaf), "p"))
+    names.extend(input_names)
+    outs = _translate_jaxpr(b, closed.jaxpr, closed.consts, names)
+
+    out_nodes = []
+    final_names = []
+    for o, want in zip(outs, output_names):
+        if o in b.initializers or o in input_names:
+            o = b.add("Identity", [o])  # outputs must be node-produced
+        # rename the producing node's output to the requested name
+        for nd in b.nodes:
+            nd.output = [want if x == o else x for x in nd.output]
+            nd.input = [want if x == o else x for x in nd.input]
+        final_names.append(want)
+
+    graph_inputs = [
+        _value_info(nm, aval=invars[n_params + i].aval)
+        for i, nm in enumerate(input_names)]
+    graph_outputs = [
+        _value_info(nm, aval=v.aval)
+        for nm, v in zip(output_names, closed.jaxpr.outvars)]
+
+    g = op.GraphProto(
+        name="main", node=b.nodes,
+        initializer=[op.tensor_from_array(v, k)
+                     for k, v in b.initializers.items()],
+        input=graph_inputs, output=graph_outputs)
+    model = op.ModelProto(
+        ir_version=8, producer_name=producer, producer_version="0.1",
+        graph=g, opset_import=[op.OperatorSetIdProto(version=opset)],
+        metadata_props=[op.StringStringEntryProto(key=k, value=v)
+                        for k, v in (metadata or {}).items()])
+    return model

@@ -1,0 +1,204 @@
+"""ONNX voice-model interchange: export trained synthesizers to `.onnx`
+and run `.onnx` voice models in the conversion pipeline.
+
+Reference behavior being matched:
+  * export (main/library/algorithm/onnx_export.py:16-50): load an
+    interchange .pth, trace SynthesizerONNX, write opset-17 ONNX with a
+    `model_info` metadata JSON (model_name/author/epoch/step/version/sr/
+    f0/model_hash/creation_date/vocoder/text_enc_hidden_dim)
+  * load (main/inference/convert.py:545-552): `.onnx` models run through
+    onnxruntime inside the VC pipeline
+
+TPU-native differences (documented, intentional):
+  * our graphs are traced from the jaxpr, so shapes are static — the
+    XLA compilation model.  `max_frames` sets the graph's frame capacity;
+    the loader pads shorter chunks and trims the waveform back.  Graphs
+    exported elsewhere with dynamic axes still run dynamically (the JAX
+    ONNX executor resolves Shape ops from the actual feed).
+  * randomness is explicit: in addition to the reference's input set
+    (phone, phone_lengths, pitch, pitchf, ds, rnd) there is a
+    `sine_noise` input for the NSF source dither.  The converter feeds
+    PRNG noise at run time; parity mode can inject fixed tensors.
+  * the full 18-hparam config list is embedded as `config_list` metadata
+    (the reference only embeds a summary; we need upsample rates etc. to
+    rebuild ModelConfig without guessing).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, model_config_from_ckpt_list, \
+    model_config_to_ckpt_list
+from . import onnx_proto as proto
+from .onnx_export import export_onnx
+from .onnx_run import OnnxGraph
+
+INPUT_NAMES_F0 = ["phone", "phone_lengths", "pitch", "pitchf", "ds", "rnd",
+                  "sine_noise"]
+INPUT_NAMES_NOF0 = ["phone", "phone_lengths", "ds", "rnd"]
+
+
+def export_voice_model(pth_path: str, onnx_path: str, *,
+                       max_frames: int = 200) -> str:
+    """Export a reference-format interchange .pth to ONNX.
+
+    Input/output names follow the reference exporter (plus `sine_noise`);
+    layouts are ours (NTC: phone (1, T, emb), rnd (1, T, inter))."""
+    from ..models import synthesizer as syn
+    from .torch_import import load_synthesizer_pth
+
+    params, cfg, meta = load_synthesizer_pth(pth_path)
+    if cfg.vocoder != "Default":
+        raise NotImplementedError(
+            f"ONNX export currently covers the NSF-HiFiGAN decoder; "
+            f"model uses {cfg.vocoder}")
+    T = int(max_frames)
+    emb = cfg.text_enc_hidden_dim
+
+    if cfg.use_f0:
+        def fwd(p, phone, phone_lengths, pitch, pitchf, ds, rnd, sine_noise):
+            wav, _, _ = syn.infer(p, cfg, phone, phone_lengths, pitch,
+                                  pitchf, ds, rnd, sine_noise)
+            return wav[:, :, 0]
+
+        args = (jnp.zeros((1, T, emb), jnp.float32),
+                jnp.asarray([T], jnp.int32),
+                jnp.zeros((1, T), jnp.int32),
+                jnp.zeros((1, T), jnp.float32),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, T, cfg.inter_channels), jnp.float32),
+                jnp.zeros((1, T * cfg.upp, 1), jnp.float32))
+        input_names = INPUT_NAMES_F0
+    else:
+        def fwd(p, phone, phone_lengths, ds, rnd):
+            wav, _, _ = syn.infer(p, cfg, phone, phone_lengths, None,
+                                  jnp.zeros(rnd.shape[:2], jnp.float32),
+                                  ds, rnd,
+                                  jnp.zeros((rnd.shape[0],
+                                             rnd.shape[1] * cfg.upp, 1),
+                                            jnp.float32))
+            return wav[:, :, 0]
+
+        args = (jnp.zeros((1, T, emb), jnp.float32),
+                jnp.asarray([T], jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, T, cfg.inter_channels), jnp.float32))
+        input_names = INPUT_NAMES_NOF0
+
+    model_info = {
+        "model_name": meta.get("model_name"),
+        "author": meta.get("author"),
+        "epoch": meta.get("epoch"),
+        "step": meta.get("step"),
+        "version": meta.get("version", "v1"),
+        "sr": cfg.sr,
+        "f0": int(cfg.use_f0),
+        "model_hash": meta.get("model_hash"),
+        "creation_date": meta.get("creation_date"),
+        "vocoder": cfg.vocoder,
+        "text_enc_hidden_dim": emb,
+    }
+    model = export_onnx(
+        fwd, args, params=params, input_names=input_names,
+        output_names=["audio"],
+        metadata={
+            "model_info": json.dumps(model_info),
+            "config_list": json.dumps(model_config_to_ckpt_list(cfg)),
+            "max_frames": str(T),
+            "layout": "NTC",
+        })
+    proto.save_model(model, onnx_path)
+    return onnx_path
+
+
+class OnnxVoiceModel:
+    """A `.onnx` voice model usable by ConvertPipeline in place of the
+    (params, cfg) pair.  Executes through the JAX ONNX executor, so the
+    whole graph jit-compiles onto the TPU with the rest of the synth
+    stage."""
+
+    def __init__(self, path: str):
+        self.graph = OnnxGraph(path)
+        md = self.graph.metadata
+        if "model_info" not in md:
+            raise ValueError(f"{path}: no model_info metadata — not an RVC "
+                             "voice model")
+        self.info = json.loads(md["model_info"])
+        self.version = self.info.get("version", "v1")
+        self.use_f0 = bool(self.info.get("f0", 1))
+        if "config_list" in md:
+            self.cfg = model_config_from_ckpt_list(
+                json.loads(md["config_list"]), use_f0=self.use_f0,
+                version=self.version,
+                vocoder=self.info.get("vocoder", "Default"))
+            emb = self.info.get("text_enc_hidden_dim")
+            if emb and emb != self.cfg.text_enc_hidden_dim:
+                import dataclasses as _dc
+
+                self.cfg = _dc.replace(self.cfg, text_enc_hidden_dim=int(emb))
+        else:
+            raise ValueError(
+                f"{path}: missing config_list metadata. Re-export with "
+                "rvc_maker_tpu (torch-exported graphs lack the hparams "
+                "needed to size noise inputs)")
+        self.max_frames = int(md.get("max_frames", 0)) or None
+
+    def synth(self, feats, frame_lengths, pitch, pitchf, sid, z_noise,
+              sine_noise):
+        """Drop-in for models.synthesizer.infer()[0][..., 0]: returns the
+        waveform (B, T*upp).  Pads to the graph's static frame capacity
+        and maps over the batch (the graph is traced at B=1)."""
+        cfg = self.cfg
+        b, t = feats.shape[0], feats.shape[1]
+        cap = self.max_frames or t
+        if t > cap:
+            raise ValueError(
+                f"chunk has {t} frames but the ONNX graph was exported "
+                f"with max_frames={cap}; re-export with a larger capacity")
+        pad = cap - t
+        if pad:
+            feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+            pitchf = jnp.pad(pitchf, ((0, 0), (0, pad)))
+            if pitch is not None:
+                pitch = jnp.pad(pitch, ((0, 0), (0, pad)))
+            z_noise = jnp.pad(z_noise, ((0, 0), (0, pad), (0, 0)))
+            sine_noise = jnp.pad(sine_noise,
+                                 ((0, 0), (0, pad * cfg.upp), (0, 0)))
+
+        if self.use_f0:
+            elems = (feats, frame_lengths[:, None], pitch, pitchf,
+                     sid[:, None], z_noise, sine_noise)
+        else:
+            elems = (feats, frame_lengths[:, None], sid[:, None], z_noise)
+
+        def per_sample(xs):
+            if self.use_f0:
+                f, fl, p, pf, s, zn, sn = xs
+                feeds = {"phone": f[None], "phone_lengths": fl,
+                         "pitch": p[None], "pitchf": pf[None],
+                         "ds": s, "rnd": zn[None], "sine_noise": sn[None]}
+            else:
+                f, fl, s, zn = xs
+                feeds = {"phone": f[None], "phone_lengths": fl,
+                         "ds": s, "rnd": zn[None]}
+            return self.graph.run(feeds)[0][0]
+
+        wav = jax.lax.map(per_sample, elems)
+        return wav[:, : t * cfg.upp]
+
+
+def load_voice_model(path: str):
+    """Load a voice model by extension: returns (synth, cfg, meta) where
+    synth is a params pytree (.pth) or an OnnxVoiceModel (.onnx)."""
+    if str(path).endswith(".onnx"):
+        vm = OnnxVoiceModel(path)
+        return vm, vm.cfg, dict(vm.info)
+    from .torch_import import load_synthesizer_pth
+
+    return load_synthesizer_pth(path)

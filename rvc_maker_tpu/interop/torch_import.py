@@ -225,6 +225,13 @@ def load_synthesizer_pth(path: str):
     cfg_list[-3] = sd["emb_g.weight"].shape[0]
     cfg = model_config_from_ckpt_list(cfg_list, use_f0=use_f0, version=version,
                                       vocoder=vocoder)
+    # trust the weights over the version heuristic for the embedding width
+    # (reference uses 768-v2/256-v1, but the true dim is in emb_phone)
+    emb_dim = int(sd["enc_p.emb_phone.weight"].shape[1])
+    if emb_dim != cfg.text_enc_hidden_dim:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, text_enc_hidden_dim=emb_dim)
     params = synthesizer_params_from_state_dict(sd, cfg)
     meta = {k: v for k, v in cpt.items() if k != "weight"}
     return params, cfg, meta

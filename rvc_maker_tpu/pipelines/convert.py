@@ -109,6 +109,8 @@ class ConvertPipeline:
         def _prep(tree):
             if tree is None:
                 return None
+            if hasattr(tree, "graph") and hasattr(tree, "synth"):
+                return tree  # OnnxVoiceModel: executes via the ONNX graph
             if compute_dtype is not None:
                 tree = jax.tree_util.tree_map(
                     lambda a: a.astype(compute_dtype)
@@ -220,6 +222,8 @@ class ConvertPipeline:
         if key not in self._step_cache:
             cfg = self.cfg
             cdtype = self.compute_dtype or jnp.float32
+            onnx_vm = (self.synth_params
+                       if hasattr(self.synth_params, "graph") else None)
 
             def synth_fn(synth_params, feats, feats0, f0, lengths, sid,
                          protect, rng):
@@ -235,6 +239,19 @@ class ConvertPipeline:
                                   + feats0 * (1.0 - pitchff).astype(feats.dtype),
                                   feats)
                 frame_lengths = jnp.minimum(lengths // WINDOW, p_len)
+                if onnx_vm is not None:
+                    # .onnx voice model: the graph executes inside this
+                    # same jitted stage (closed over, not a traced arg)
+                    k1, k2 = jax.random.split(rng)
+                    z_noise = jax.random.normal(
+                        k1, (b, p_len, cfg.inter_channels), jnp.float32)
+                    sine_noise = jax.random.normal(
+                        k2, (b, p_len * cfg.upp, 1), jnp.float32)
+                    wav = onnx_vm.synth(
+                        feats.astype(jnp.float32), frame_lengths,
+                        pitch if cfg.use_f0 else None, pitchf,
+                        sid, z_noise, sine_noise)
+                    return wav.astype(jnp.float32), pitchf
                 if cfg.vocoder != "Default":
                     wav = syn.infer_any(synth_params, cfg, feats,
                                         frame_lengths,
@@ -251,7 +268,14 @@ class ConvertPipeline:
                                       sid, z_noise, sine_noise)
                 return wav[:, :, 0].astype(jnp.float32), pitchf
 
-            self._step_cache[key] = jax.jit(synth_fn)
+            jitted = jax.jit(synth_fn)
+            if onnx_vm is not None:
+                # the OnnxVoiceModel is closed over, not traceable — swap
+                # the params argument for an empty pytree
+                self._step_cache[key] = (
+                    lambda _sp, *a: jitted(None, *a))
+            else:
+                self._step_cache[key] = jitted
         return self._step_cache[key]
 
     # -- host-side F0 methods (native C++ WORLD-style, hybrid) -----------
