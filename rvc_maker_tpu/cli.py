@@ -197,6 +197,31 @@ def cmd_separate(args):
 
     _setup_logging(None)
     audio, sr = read_wav(args.input)
+    if args.model.endswith(".onnx"):
+        # MDX-Net spectrogram-masking model via the JAX ONNX executor
+        import numpy as np
+
+        from .interop.onnx_run import OnnxGraph
+        from .pipelines import mdx as mdx_mod
+
+        graph = OnnxGraph(args.model)
+        p = mdx_mod.params_from_graph(
+            graph, n_fft=args.mdx_n_fft, hop_length=args.mdx_hop,
+            compensate=args.mdx_compensate, overlap=args.mdx_overlap,
+            enable_denoise=args.mdx_denoise)
+        if audio.ndim == 1:
+            audio = np.stack([audio, audio], axis=1)
+        primary, secondary = mdx_mod.mdx_separate(
+            graph, audio.T.astype(np.float32), p,
+            invert_using_spec=args.invert_using_spec)
+        # MDX primary stem is vocals for Kim_Vocal-style models
+        save_wav(args.output_vocals, primary.T, sr)
+        if args.output_instrumental:
+            save_wav(args.output_instrumental, secondary.T, sr)
+        print(f"separate: wrote {args.output_vocals}"
+              + (f" and {args.output_instrumental}"
+                 if args.output_instrumental else ""))
+        return
     if args.model.endswith((".yaml", ".yml")):
         import numpy as np
 
@@ -390,12 +415,18 @@ def build_parser():
 
     ss = sub.add_parser("separate")
     ss.add_argument("--model", required=True,
-                    help="demucs .th checkpoint or .yaml bag")
+                    help="demucs .th checkpoint, .yaml bag, or MDX .onnx")
     ss.add_argument("--input", required=True)
     ss.add_argument("--output-vocals", required=True)
     ss.add_argument("--output-instrumental", default="")
     ss.add_argument("--shifts", type=int, default=0)
     ss.add_argument("--invert-using-spec", action="store_true")
+    ss.add_argument("--mdx-n-fft", type=int, default=6144,
+                    help="MDX model FFT size (from the model registry)")
+    ss.add_argument("--mdx-hop", type=int, default=1024)
+    ss.add_argument("--mdx-compensate", type=float, default=1.035)
+    ss.add_argument("--mdx-overlap", type=float, default=0.25)
+    ss.add_argument("--mdx-denoise", action="store_true")
     ss.set_defaults(func=cmd_separate)
 
     sd = sub.add_parser("create-dataset")
