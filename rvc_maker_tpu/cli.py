@@ -123,7 +123,10 @@ def cmd_convert(args):
     synth_params, cfg, meta = load_voice_model(args.model)
     version = meta.get("version", "v2")
     if args.embedder_path:
-        hubert_params = hubert_mod.load_fairseq_pt(args.embedder_path)
+        from .interop.onnx_embedder import load_embedder
+
+        # fairseq .pt / transformers dir / .onnx (JAX ONNX executor)
+        hubert_params = load_embedder(args.embedder_path)
     else:
         import jax
         logging.warning("no --embedder-path: random HuBERT weights (debug only)")

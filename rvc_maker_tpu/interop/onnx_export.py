@@ -122,6 +122,12 @@ def _rem(b, eqn, ins):
     return [b.add("Mod", ins, fmod=1)]
 
 
+@_prim("erfc")
+def _erfc(b, eqn, ins):
+    one = b.const(np.asarray(1.0, eqn.invars[0].aval.dtype))
+    return [b.add("Sub", [one, b.add("Erf", ins)])]
+
+
 @_prim("rsqrt")
 def _rsqrt(b, eqn, ins):
     return [b.add("Reciprocal", [b.add("Sqrt", ins)])]
@@ -480,6 +486,45 @@ def _gather(b, eqn, ins):
         return [out]
     raise NotImplementedError(
         f"general gather: dnums={dnums} sizes={slice_sizes}")
+
+
+@_prim("scan")
+def _scan(b, eqn, ins):
+    """lax.scan lowered by static unrolling (stacked-layer loops become
+    repeated blocks, exactly like a torch-exported model)."""
+    p = eqn.params
+    if p.get("reverse"):
+        raise NotImplementedError("reverse scan")
+    length = int(p["length"])
+    n_consts = int(p["num_consts"])
+    n_carry = int(p["num_carry"])
+    closed = p["jaxpr"]
+    consts = ins[:n_consts]
+    carry = list(ins[n_consts:n_consts + n_carry])
+    xs = ins[n_consts + n_carry:]
+    xs_avals = [v.aval for v in eqn.invars[n_consts + n_carry:]]
+    n_ys = len(eqn.outvars) - n_carry
+    ys_parts = [[] for _ in range(n_ys)]
+    for i in range(length):
+        x_slices = []
+        for xname, aval in zip(xs, xs_avals):
+            nd = len(aval.shape)
+            sl = b.add("Slice", [
+                xname, b.const(np.asarray([i], np.int64)),
+                b.const(np.asarray([i + 1], np.int64)),
+                b.const(np.asarray([0], np.int64)),
+                b.const(np.asarray([1], np.int64))])
+            x_slices.append(b.add("Reshape", [sl, b.const(
+                np.asarray(aval.shape[1:], np.int64))]))
+        outs = _inline(b, closed, list(consts) + carry + x_slices)
+        carry = list(outs[:n_carry])
+        for j, y in enumerate(outs[n_carry:]):
+            aval = eqn.outvars[n_carry + j].aval
+            ys_parts[j].append(b.add("Reshape", [y, b.const(
+                np.asarray((1,) + aval.shape[1:], np.int64))]))
+    ys = [parts[0] if length == 1 else b.add("Concat", parts, axis=0)
+          for parts in ys_parts]
+    return carry + ys
 
 
 # recursion into sub-jaxprs -------------------------------------------------

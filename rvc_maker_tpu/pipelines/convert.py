@@ -109,8 +109,8 @@ class ConvertPipeline:
         def _prep(tree):
             if tree is None:
                 return None
-            if hasattr(tree, "graph") and hasattr(tree, "synth"):
-                return tree  # OnnxVoiceModel: executes via the ONNX graph
+            if hasattr(tree, "graph"):
+                return tree  # OnnxVoiceModel / OnnxEmbedder: ONNX graph
             if compute_dtype is not None:
                 tree = jax.tree_util.tree_map(
                     lambda a: a.astype(compute_dtype)
@@ -198,23 +198,35 @@ class ConvertPipeline:
         if key not in self._step_cache:
             version = self.version
             cdtype = self.compute_dtype
+            onnx_emb = (self.hubert_params
+                        if hasattr(self.hubert_params, "graph") else None)
 
             def feat_fn(hubert_params, index_vectors, audio, lengths,
                         index_rate):
                 if cdtype is not None:
                     audio = audio.astype(cdtype)
                     index_rate = index_rate.astype(cdtype)
-                feats, _ = hubert_mod.extract_features(
-                    hubert_params, audio, lengths,
-                    output_layer=12 if version == "v2" else 9)
-                if version == "v1":
-                    feats = hubert_mod.final_proj(hubert_params, feats)
+                if onnx_emb is not None:
+                    # .onnx embedder: the graph runs inside this jitted
+                    # stage (closed over, already projected for v1)
+                    feats = onnx_emb.features(audio, lengths)
+                else:
+                    feats, _ = hubert_mod.extract_features(
+                        hubert_params, audio, lengths,
+                        output_layer=12 if version == "v2" else 9)
+                    if version == "v1":
+                        feats = hubert_mod.final_proj(hubert_params, feats)
                 feats0 = feats
                 if use_index:
                     feats = retrieval_blend(feats, index_vectors, index_rate)
                 return interp_nearest_x2(feats), interp_nearest_x2(feats0)
 
-            self._step_cache[key] = jax.jit(feat_fn)
+            jitted = jax.jit(feat_fn)
+            if onnx_emb is not None:
+                self._step_cache[key] = (
+                    lambda _hp, *a: jitted(None, *a))
+            else:
+                self._step_cache[key] = jitted
         return self._step_cache[key]
 
     def _stage_synth(self):
