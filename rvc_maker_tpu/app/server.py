@@ -95,6 +95,34 @@ INDEX_HTML = """<!DOCTYPE html>
  <button onclick="fuse()">Fuse</button>
  <pre id="f_out"></pre>
 </fieldset>
+<fieldset><legend><b>Vocal separation</b></legend>
+ <label>Audio (wav)</label><input type="file" id="s_audio"><br>
+ <label>Model (.th/.yaml/.onnx)</label><input id="s_model" size="40"><br>
+ <label>MDX n_fft (onnx only)</label><input id="s_nfft" type="number" value="6144">
+ <label>hop</label><input id="s_hop" type="number" value="1024"><br>
+ <button onclick="separate()">Separate</button>
+ <div id="s_out"></div>
+</fieldset>
+<fieldset><legend><b>ONNX export</b></legend>
+ <label>Model (.pth)</label><input id="x_model" size="40"><br>
+ <label>Output (.onnx)</label><input id="x_out_path" size="40"><br>
+ <label>Max frames</label><input id="x_frames" type="number" value="800"><br>
+ <button onclick="exportOnnx()">Export</button>
+ <pre id="x_out"></pre>
+</fieldset>
+<fieldset><legend><b>F0 extractor</b></legend>
+ <label>Audio (wav)</label><input type="file" id="p_audio"><br>
+ <label>Method</label><select id="p_method"><option>yin</option><option>pyin</option>
+  <option>swipe</option><option>dio</option><option>harvest</option><option>pm</option></select><br>
+ <button onclick="f0Extract()">Extract</button>
+ <pre id="p_out"></pre>
+</fieldset>
+<fieldset><legend><b>Downloads</b></legend>
+ <label>URL</label><input id="d_url" size="50"><br>
+ <label>Output dir</label><input id="d_dir" size="40" value="./assets/models"><br>
+ <button onclick="download()">Download</button>
+ <pre id="d_out"></pre>
+</fieldset>
 <script>
 async function post(url, body){
   const r = await fetch(url, {method:'POST', headers:{'Content-Type':'application/json'},
@@ -172,6 +200,43 @@ async function fuse(){
     ratio: +document.getElementById('f_ratio').value});
   document.getElementById('f_out').innerText = JSON.stringify(r, null, 2);
 }
+async function separate(){
+  document.getElementById('s_out').innerText = 'separating...';
+  try{
+    const audio = await fileB64(document.getElementById('s_audio'));
+    const r = await post('/api/separate', {audio_b64: audio,
+      model: document.getElementById('s_model').value,
+      mdx_n_fft: +document.getElementById('s_nfft').value,
+      mdx_hop: +document.getElementById('s_hop').value});
+    if(r.error){document.getElementById('s_out').innerText = 'error: '+r.error; return;}
+    document.getElementById('s_out').innerHTML =
+      'vocals: <audio controls src="data:audio/wav;base64,'+r.vocals_b64+'"></audio><br>' +
+      'instrumental: <audio controls src="data:audio/wav;base64,'+r.instrumental_b64+'"></audio>';
+  }catch(e){document.getElementById('s_out').innerText = 'error: '+e;}
+}
+async function exportOnnx(){
+  const r = await post('/api/export_onnx', {model: document.getElementById('x_model').value,
+    output: document.getElementById('x_out_path').value,
+    max_frames: +document.getElementById('x_frames').value});
+  document.getElementById('x_out').innerText = JSON.stringify(r, null, 2);
+}
+async function f0Extract(){
+  document.getElementById('p_out').innerText = 'extracting...';
+  try{
+    const audio = await fileB64(document.getElementById('p_audio'));
+    const r = await post('/api/f0_extract', {audio_b64: audio,
+      method: document.getElementById('p_method').value});
+    if(r.error){document.getElementById('p_out').innerText = 'error: '+r.error; return;}
+    document.getElementById('p_out').innerText =
+      'frames: '+r.f0.length+' (10ms hop)\n'+r.f0.map(x=>x.toFixed(1)).join(' ');
+  }catch(e){document.getElementById('p_out').innerText = 'error: '+e;}
+}
+async function download(){
+  document.getElementById('d_out').innerText = 'downloading...';
+  const r = await post('/api/download', {url: document.getElementById('d_url').value,
+    output: document.getElementById('d_dir').value});
+  document.getElementById('d_out').innerText = JSON.stringify(r, null, 2);
+}
 </script></body></html>
 """
 
@@ -206,14 +271,16 @@ def _get_pipeline(model: str, index: str, rmvpe: str, embedder: str):
             return _STATE["pipeline"]
     import jax
 
-    from ..interop import load_synthesizer_pth
+    from ..interop.onnx_embedder import load_embedder
+    from ..interop.onnx_voice import load_voice_model
     from ..models import hubert as hubert_mod
     from ..pipelines.convert import ConvertPipeline
     from ..retrieval import load_index
 
-    synth_params, cfg, meta = load_synthesizer_pth(model)
+    # .pth -> params pytree; .onnx -> OnnxVoiceModel / OnnxEmbedder
+    synth_params, cfg, meta = load_voice_model(model)
     version = meta.get("version", "v2")
-    hubert_params = (hubert_mod.load_fairseq_pt(embedder) if embedder
+    hubert_params = (load_embedder(embedder) if embedder
                      else hubert_mod.init_params(jax.random.PRNGKey(0)))
     rmvpe_params = None
     if rmvpe:
@@ -278,6 +345,22 @@ class Handler(BaseHTTPRequestHandler):
                 out = fuse_models(req["a"], req["b"], req["out"],
                                   ratio=float(req.get("ratio", 0.5)))
                 self._json({"output": out})
+            elif self.path == "/api/separate":
+                self._api_separate(req)
+            elif self.path == "/api/export_onnx":
+                from ..interop.onnx_voice import export_voice_model
+
+                out = export_voice_model(
+                    req["model"], req["output"],
+                    max_frames=int(req.get("max_frames", 800)))
+                self._json({"output": out})
+            elif self.path == "/api/f0_extract":
+                self._api_f0_extract(req)
+            elif self.path == "/api/download":
+                from ..utils.scrapers import download_any
+
+                out = download_any(req["url"], req.get("output", "."))
+                self._json({"output": out})
             else:
                 self._json({"error": "unknown endpoint"}, 404)
         except Exception as e:  # surface errors to the UI
@@ -306,6 +389,72 @@ class Handler(BaseHTTPRequestHandler):
         out = pipe.convert_utterance(audio16, int(req.get("sid", 0)), settings)
         self._json({"audio_b64": _audio_to_wav_b64(out, pipe.cfg.sr),
                     "sr": pipe.cfg.sr})
+
+    def _api_separate(self, req):
+        wav, sr = _wav_bytes_to_audio(base64.b64decode(req["audio_b64"]))
+        stereo = np.stack([wav, wav], axis=0)
+        model = req["model"]
+        if model.endswith(".onnx"):
+            from ..interop.onnx_run import OnnxGraph
+            from ..pipelines import mdx as mdx_mod
+
+            graph = OnnxGraph(model)
+            p = mdx_mod.params_from_graph(
+                graph, n_fft=int(req.get("mdx_n_fft", 6144)),
+                hop_length=int(req.get("mdx_hop", 1024)))
+            vocals, inst = mdx_mod.mdx_separate(graph, stereo, p)
+            out_sr = sr
+        else:
+            from ..interop.demucs_load import load_demucs_th
+            from ..pipelines.separate import separate_vocals
+
+            params, cfg = load_demucs_th(model)
+            v, i = separate_vocals(params, cfg, wav, sr)  # each (L, 2)
+            vocals, inst = np.asarray(v).T, np.asarray(i).T
+            out_sr = cfg.samplerate
+        self._json({
+            "vocals_b64": _audio_to_wav_b64(np.asarray(vocals).mean(0),
+                                            out_sr),
+            "instrumental_b64": _audio_to_wav_b64(np.asarray(inst).mean(0),
+                                                  out_sr),
+            "sr": out_sr})
+
+    def _api_f0_extract(self, req):
+        from ..pipelines.convert import WINDOW
+        from ..utils.audio import resample
+
+        wav, sr = _wav_bytes_to_audio(base64.b64decode(req["audio_b64"]))
+        audio16 = resample(wav, sr, 16000).astype(np.float32)
+        method = req.get("method", "yin")
+        if method in ("yin",):
+            import jax.numpy as jnp
+
+            from ..f0.yin import yin
+
+            f0 = np.asarray(yin(jnp.asarray(audio16[None]), sr=16000,
+                                fmin=50.0, fmax=1100.0,
+                                hop_length=WINDOW))[0]
+        elif method == "pyin":
+            from ..f0.pyin import pyin
+
+            f0, _, _ = pyin(audio16, sr=16000, hop_length=WINDOW)
+        elif method == "swipe":
+            from ..f0.swipe import swipe
+
+            f0, _ = swipe(audio16, 16000)
+        elif method == "pm":
+            from ..f0.praat_ac import praat_ac
+
+            f0 = praat_ac(audio16, 16000)
+        elif method in ("dio", "harvest"):
+            from .. import native
+
+            fn = native.dio if method == "dio" else native.harvest
+            f0 = fn(audio16.astype(np.float64), 16000)[0]
+        else:
+            raise ValueError(f"unknown f0 method {method!r}")
+        self._json({"f0": [float(x) for x in np.asarray(f0).ravel()],
+                    "hop_ms": 10.0})
 
     def _api_effects(self, req):
         import dataclasses

@@ -148,3 +148,75 @@ def test_job_unknown_kind(server_port):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 500
+
+
+def test_f0_extract_endpoint(server_port):
+    resp = _post(server_port, "/api/f0_extract", {
+        "audio_b64": _tone_wav_b64(freq=220.0), "method": "yin"})
+    f0 = np.asarray(resp["f0"])
+    assert len(f0) > 50 and resp["hop_ms"] == 10.0
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    assert abs(np.median(voiced) - 220.0) < 10.0
+
+
+def test_export_onnx_and_onnx_convert_endpoint(tmp_path, server_port):
+    params = syn.init_params(jax.random.PRNGKey(0), CFG_M)
+    from rvc_maker_tpu.config import DataConfig, TrainConfig
+
+    rvc = RVCConfig(version="v2", train=TrainConfig(), data=DataConfig(),
+                    model=CFG_M)
+    pth = str(tmp_path / "m.pth")
+    export_synthesizer_pth(params, rvc, pth, epoch=1, step=1, author="t")
+
+    onnx = str(tmp_path / "m.onnx")
+    resp = _post(server_port, "/api/export_onnx",
+                 {"model": pth, "output": onnx, "max_frames": 512})
+    assert resp["output"] == onnx
+
+    # convert through the exported .onnx model
+    resp = _post(server_port, "/api/convert", {
+        "audio_b64": _tone_wav_b64(secs=0.5), "model": onnx,
+        "f0_method": "yin", "index_rate": 0.0})
+    sr, out = wavfile.read(io.BytesIO(base64.b64decode(resp["audio_b64"])))
+    assert sr == CFG_M.sr and len(out) > 0
+
+
+def test_separate_endpoint_mdx(tmp_path, server_port):
+    import jax.numpy as jnp
+
+    from rvc_maker_tpu.interop import onnx_proto as proto
+    from rvc_maker_tpu.interop.onnx_export import export_onnx
+
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(4, 4, 3, 3).astype(np.float32) * 0.2)
+
+    def net(spek):
+        return jax.lax.conv_general_dilated(
+            spek, jnp.transpose(w, (1, 0, 2, 3)), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    x = jnp.zeros((1, 4, 24, 32), jnp.float32)
+    model = export_onnx(net, (x,), input_names=["input"],
+                        output_names=["output"])
+    path = str(tmp_path / "mdx.onnx")
+    proto.save_model(model, path)
+
+    resp = _post(server_port, "/api/separate", {
+        "audio_b64": _tone_wav_b64(secs=0.3), "model": path,
+        "mdx_n_fft": 64, "mdx_hop": 16})
+    for key in ("vocals_b64", "instrumental_b64"):
+        sr, out = wavfile.read(io.BytesIO(base64.b64decode(resp[key])))
+        assert len(out) > 0 and np.all(np.isfinite(out))
+
+
+def test_download_endpoint_error_surface(server_port):
+    import urllib.error
+
+    try:
+        _post(server_port, "/api/download",
+              {"url": "https://mega.nz/folder/notafile", "output": "/tmp"})
+        assert False, "expected an error"
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert "error" in body
