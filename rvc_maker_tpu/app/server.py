@@ -18,6 +18,7 @@ import base64
 import io
 import json
 import logging
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -117,11 +118,60 @@ INDEX_HTML = """<!DOCTYPE html>
  <button onclick="f0Extract()">Extract</button>
  <pre id="p_out"></pre>
 </fieldset>
+<fieldset><legend><b>Text-to-speech</b></legend>
+ <label>Text</label><input id="y_text" size="50"><br>
+ <label>Voice</label><input id="y_voice" size="30" value="en-US-EmmaMultilingualNeural">
+ <label>Google TTS</label><input id="y_google" type="checkbox"><br>
+ <label>Speed (%)</label><input id="y_rate" type="number" value="0">
+ <label>TTS pitch (Hz)</label><input id="y_pitch" type="number" value="0"><br>
+ <label>Voice model (optional)</label><input id="y_model" size="40"><br>
+ <label>Embedder</label><input id="y_emb" size="40">
+ <label>RMVPE</label><input id="y_rmvpe" size="30"><br>
+ <button onclick="tts()">Synthesize</button>
+ <div id="y_out"></div>
+</fieldset>
+<fieldset><legend><b>Convert with diarization (whisper)</b></legend>
+ <label>Audio (wav)</label><input type="file" id="w_audio"><br>
+ <label>Model A (.pth)</label><input id="w_model_a" size="40"><br>
+ <label>Model B (.pth)</label><input id="w_model_b" size="40"><br>
+ <label>ECAPA ckpt</label><input id="w_ecapa" size="40"><br>
+ <label>Whisper .pt (optional)</label><input id="w_whisper" size="40">
+ <label>vocab</label><input id="w_vocab" size="25"><br>
+ <label>Embedder</label><input id="w_emb" size="40">
+ <label>RMVPE</label><input id="w_rmvpe" size="30"><br>
+ <button onclick="convertWhisper()">Convert</button>
+ <div id="w_out"></div>
+</fieldset>
+<fieldset><legend><b>Create dataset</b></legend>
+ <label>Inputs (paths/URLs, one per line)</label><br>
+ <textarea id="cd_inputs" rows="3" cols="60"></textarea><br>
+ <label>Output dir</label><input id="cd_out_dir" size="40" value="./dataset">
+ <label>Sample rate</label><input id="cd_sr" type="number" value="44100"><br>
+ <label>Separator .th (optional)</label><input id="cd_sep" size="40">
+ <label>Clean</label><input id="cd_clean" type="checkbox"><br>
+ <button onclick="job2('create_dataset')">Create</button>
+ <button onclick="jobStatus2()">Status</button>
+ <pre id="cd_out"></pre>
+</fieldset>
 <fieldset><legend><b>Downloads</b></legend>
  <label>URL</label><input id="d_url" size="50"><br>
  <label>Output dir</label><input id="d_dir" size="40" value="./assets/models"><br>
  <button onclick="download()">Download</button>
+ <label>Search HF models</label><input id="d_query" size="30">
+ <button onclick="searchModels()">Search</button>
  <pre id="d_out"></pre>
+</fieldset>
+<fieldset><legend><b>Settings</b></legend>
+ <label>Language</label><select id="g_lang"></select>
+ <label>Precision</label><select id="g_prec"><option>bf16</option><option>fp32</option></select>
+ <button onclick="saveSettings()">Save</button>
+ <pre id="g_out"></pre>
+</fieldset>
+<fieldset><legend><b>Report bugs</b></legend>
+ <label>Webhook URL</label><input id="b_hook" size="50"><br>
+ <label>Description</label><br><textarea id="b_text" rows="3" cols="60"></textarea><br>
+ <button onclick="reportBug()">Send</button>
+ <pre id="b_out"></pre>
 </fieldset>
 <script>
 async function post(url, body){
@@ -237,6 +287,83 @@ async function download(){
     output: document.getElementById('d_dir').value});
   document.getElementById('d_out').innerText = JSON.stringify(r, null, 2);
 }
+async function searchModels(){
+  document.getElementById('d_out').innerText = 'searching...';
+  const r = await post('/api/search_models', {query: document.getElementById('d_query').value});
+  document.getElementById('d_out').innerText = JSON.stringify(r, null, 2);
+}
+async function tts(){
+  document.getElementById('y_out').innerText = 'synthesizing...';
+  const r = await post('/api/tts', {text: document.getElementById('y_text').value,
+    voice: document.getElementById('y_voice').value,
+    google: document.getElementById('y_google').checked,
+    rate: +document.getElementById('y_rate').value,
+    tts_pitch: +document.getElementById('y_pitch').value,
+    model: document.getElementById('y_model').value,
+    embedder: document.getElementById('y_emb').value,
+    rmvpe: document.getElementById('y_rmvpe').value});
+  if(r.error){document.getElementById('y_out').innerText = 'error: '+r.error; return;}
+  let html = 'tts: <audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>';
+  if(r.converted_b64) html += '<br>converted: <audio controls src="data:audio/wav;base64,'+r.converted_b64+'"></audio>';
+  document.getElementById('y_out').innerHTML = html;
+}
+async function convertWhisper(){
+  document.getElementById('w_out').innerText = 'converting...';
+  try{
+    const audio = await fileB64(document.getElementById('w_audio'));
+    const r = await post('/api/convert_whisper', {audio_b64: audio,
+      model_a: document.getElementById('w_model_a').value,
+      model_b: document.getElementById('w_model_b').value,
+      ecapa: document.getElementById('w_ecapa').value,
+      whisper: document.getElementById('w_whisper').value,
+      vocab: document.getElementById('w_vocab').value,
+      embedder: document.getElementById('w_emb').value,
+      rmvpe: document.getElementById('w_rmvpe').value});
+    if(r.error){document.getElementById('w_out').innerText = 'error: '+r.error; return;}
+    document.getElementById('w_out').innerHTML =
+      '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>';
+  }catch(e){document.getElementById('w_out').innerText = 'error: '+e;}
+}
+let lastJob2 = null;
+async function job2(kind){
+  const r = await post('/api/job_start', {kind: kind,
+    inputs: document.getElementById('cd_inputs').value.split('\\n').filter(x=>x.trim()),
+    output: document.getElementById('cd_out_dir').value,
+    sr: +document.getElementById('cd_sr').value,
+    separator: document.getElementById('cd_sep').value,
+    clean: document.getElementById('cd_clean').checked});
+  lastJob2 = r.job_id;
+  document.getElementById('cd_out').innerText = JSON.stringify(r, null, 2);
+}
+async function jobStatus2(){
+  const r = await post('/api/job_status', {job_id: lastJob2});
+  document.getElementById('cd_out').innerText =
+    (r.done ? '[done] ' : '[running] ') + (r.error||'') + '\n' + (r.log||'');
+}
+async function loadSettings(){
+  const r = await post('/api/settings', {});
+  const sel = document.getElementById('g_lang');
+  sel.innerHTML = '';
+  for(const l of r.languages){
+    const o = document.createElement('option');
+    o.text = l; o.selected = (l === r.language); sel.add(o);
+  }
+  document.getElementById('g_prec').value = r.precision;
+}
+async function saveSettings(){
+  const r = await post('/api/settings', {
+    language: document.getElementById('g_lang').value,
+    precision: document.getElementById('g_prec').value});
+  document.getElementById('g_out').innerText = JSON.stringify(r, null, 2);
+}
+async function reportBug(){
+  document.getElementById('b_out').innerText = 'sending...';
+  const r = await post('/api/report_bug', {
+    webhook: document.getElementById('b_hook').value,
+    text: document.getElementById('b_text').value});
+  document.getElementById('b_out').innerText = JSON.stringify(r, null, 2);
+}
+loadSettings();
 </script></body></html>
 """
 
@@ -361,6 +488,16 @@ class Handler(BaseHTTPRequestHandler):
 
                 out = download_any(req["url"], req.get("output", "."))
                 self._json({"output": out})
+            elif self.path == "/api/tts":
+                self._api_tts(req)
+            elif self.path == "/api/convert_whisper":
+                self._api_convert_whisper(req)
+            elif self.path == "/api/settings":
+                self._api_settings(req)
+            elif self.path == "/api/search_models":
+                self._json({"models": _search_hf_models(req["query"])})
+            elif self.path == "/api/report_bug":
+                self._json(_report_bug(req["webhook"], req["text"]))
             else:
                 self._json({"error": "unknown endpoint"}, 404)
         except Exception as e:  # surface errors to the UI
@@ -469,8 +606,179 @@ class Handler(BaseHTTPRequestHandler):
         self._json({"audio_b64": _audio_to_wav_b64(out, out_sr),
                     "sr": out_sr})
 
+    def _api_tts(self, req):
+        """TTS tab (reference app.py:2080): synthesize (edge protocol or
+        Google), optionally convert through a voice model."""
+        import tempfile
+
+        from ..utils import edge_tts_client as etc
+        from ..utils.tts import _read_tts_output, synthesize_tts
+
+        google = bool(req.get("google"))
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/tts.wav"
+            synthesize_tts(
+                req["text"], req.get("voice", etc.DEFAULT_VOICE), path,
+                rate=int(req.get("rate", 0)),
+                pitch=int(req.get("tts_pitch", 0)), google=google,
+                endpoint=req.get("endpoint"),
+                output_format=None if google else etc.PCM_FORMAT)
+            audio24 = _read_tts_output(path, 24000)
+        resp = {"audio_b64": _audio_to_wav_b64(audio24, 24000), "sr": 24000}
+        if req.get("model"):
+            from ..pipelines.convert import ConvertSettings
+            from ..utils.audio import resample
+
+            audio16 = resample(audio24, 24000, 16000)
+            peak = np.abs(audio16).max() / 0.95
+            if peak > 1:
+                audio16 = audio16 / peak
+            f0_method = req.get("f0_method", "rmvpe")
+            if f0_method == "rmvpe" and not req.get("rmvpe"):
+                f0_method = "yin"
+            pipe = _get_pipeline(req["model"], req.get("index", ""),
+                                 req.get("rmvpe", ""), req.get("embedder", ""))
+            out = pipe.convert_utterance(
+                audio16, int(req.get("sid", 0)),
+                ConvertSettings(pitch=int(req.get("pitch", 0)),
+                                index_rate=float(req.get("index_rate", 0.5)),
+                                protect=float(req.get("protect", 0.33)),
+                                f0_method=f0_method))
+            resp["converted_b64"] = _audio_to_wav_b64(out, pipe.cfg.sr)
+            resp["converted_sr"] = pipe.cfg.sr
+        self._json(resp)
+
+    def _api_convert_whisper(self, req):
+        """Diarized two-model conversion (reference convert_with_whisper
+        app.py:1022-1164): segments -> ECAPA clustering -> alternate
+        voice models per speaker."""
+        from ..models.ecapa_tdnn import load_ecapa_ckpt
+        from ..pipelines.convert import ConvertSettings
+        from ..speaker.diarize import convert_with_diarization
+        from ..utils.audio import resample
+
+        wav, sr = _wav_bytes_to_audio(base64.b64decode(req["audio_b64"]))
+        audio16 = resample(wav, sr, 16000)
+        f0_method = req.get("f0_method", "rmvpe")
+        if f0_method == "rmvpe" and not req.get("rmvpe"):
+            f0_method = "yin"
+        settings = ConvertSettings(
+            pitch=int(req.get("pitch", 0)),
+            index_rate=float(req.get("index_rate", 0.5)),
+            protect=float(req.get("protect", 0.33)), f0_method=f0_method)
+        models = [m for m in (req.get("model_a"), req.get("model_b")) if m]
+        if not models:
+            raise ValueError("need at least model_a")
+        pipes = [_build_uncached_pipeline(m, req.get("index", ""),
+                                          req.get("rmvpe", ""),
+                                          req.get("embedder", ""))
+                 for m in models]
+        ecapa_params = load_ecapa_ckpt(req["ecapa"])
+        whisper = None
+        if req.get("whisper"):
+            from ..models.whisper import load_whisper_pt
+            from ..speaker.whisper_tokenizer import WhisperTokenizer
+
+            params, dims = load_whisper_pt(req["whisper"])
+            tok = WhisperTokenizer(req["vocab"], multilingual=True)
+            whisper = (params, dims, tok)
+        out = convert_with_diarization(
+            audio16, pipes, [settings] * len(pipes), ecapa_params,
+            whisper=whisper)
+        self._json({"audio_b64": _audio_to_wav_b64(out, pipes[0].cfg.sr),
+                    "sr": pipes[0].cfg.sr})
+
+    def _api_settings(self, req):
+        """Settings tab (reference app.py:2981 rewrites config.json +
+        restarts; here settings apply live and persist)."""
+        from ..utils.i18n import available_languages, set_language
+
+        if req.get("language") or req.get("precision"):
+            if req.get("language"):
+                set_language(req["language"])
+                _SETTINGS["language"] = req["language"]
+            if req.get("precision"):
+                _SETTINGS["precision"] = req["precision"]
+            _save_settings()
+        self._json({"language": _SETTINGS.get("language", "en-US"),
+                    "precision": _SETTINGS.get("precision", "bf16"),
+                    "languages": available_languages()})
+
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logger.info("%s " + fmt, self.address_string(), *args)
+
+
+_SETTINGS_PATH = os.path.expanduser("~/.rvc_maker_tpu.json")
+_SETTINGS: dict = {}
+try:
+    with open(_SETTINGS_PATH, encoding="utf-8") as _f:
+        _SETTINGS.update(json.load(_f))
+except (OSError, ValueError):
+    pass
+
+
+def _save_settings() -> None:
+    try:
+        with open(_SETTINGS_PATH, "w", encoding="utf-8") as f:
+            json.dump(_SETTINGS, f, indent=2)
+    except OSError:
+        logger.warning("could not persist settings to %s", _SETTINGS_PATH)
+
+
+def _build_uncached_pipeline(model: str, index: str, rmvpe: str,
+                             embedder: str):
+    """Like _get_pipeline but without the single-slot cache — the
+    diarized flow needs two models alive at once."""
+    import jax
+
+    from ..interop.onnx_embedder import load_embedder
+    from ..interop.onnx_voice import load_voice_model
+    from ..models import hubert as hubert_mod
+    from ..pipelines.convert import ConvertPipeline
+    from ..retrieval import load_index
+
+    synth_params, cfg, meta = load_voice_model(model)
+    hubert_params = (load_embedder(embedder) if embedder
+                     else hubert_mod.init_params(jax.random.PRNGKey(0)))
+    rmvpe_params = None
+    if rmvpe:
+        from ..models.rmvpe import load_rmvpe_pt
+
+        rmvpe_params = load_rmvpe_pt(rmvpe)
+    return ConvertPipeline(
+        synth_params, cfg, hubert_params,
+        version=meta.get("version", "v2"), rmvpe_params=rmvpe_params,
+        index_vectors=load_index(index).vectors if index else None)
+
+
+def _search_hf_models(query: str, limit: int = 20) -> list[dict]:
+    """HuggingFace model search (reference search_models app.py:327-348;
+    network)."""
+    import urllib.parse
+    import urllib.request
+
+    url = ("https://huggingface.co/api/models?search="
+           + urllib.parse.quote(query) + f"&limit={limit}")
+    with urllib.request.urlopen(url, timeout=15) as resp:
+        items = json.loads(resp.read().decode())
+    return [{"id": it.get("id"), "downloads": it.get("downloads"),
+             "likes": it.get("likes")} for it in items]
+
+
+def _report_bug(webhook_url: str, text: str) -> dict:
+    """Discord-webhook bug report (reference report-bugs tab,
+    app.py:1400; network)."""
+    import urllib.request
+
+    if not webhook_url.startswith("https://"):
+        raise ValueError("webhook must be an https URL")
+    data = json.dumps({"content": text[:1900]}).encode()
+    req = urllib.request.Request(
+        webhook_url, data=data,
+        headers={"Content-Type": "application/json",
+                 "User-Agent": "rvc_maker_tpu"})
+    with urllib.request.urlopen(req, timeout=15) as resp:
+        return {"status": resp.status}
 
 
 def _start_job(req: dict) -> dict:
@@ -480,7 +788,7 @@ def _start_job(req: dict) -> dict:
     import itertools
 
     kind = req.get("kind")
-    if kind not in ("preprocess", "extract", "train"):
+    if kind not in ("preprocess", "extract", "train", "create_dataset"):
         raise ValueError(f"unknown job kind {kind!r}")
     with _JOBS_LOCK:
         job_id = f"{kind}-{next(_start_job._counter)}"
@@ -497,6 +805,21 @@ def _start_job(req: dict) -> dict:
         root = logging.getLogger("rvc_maker_tpu")
         root.addHandler(handler)
         try:
+            if kind == "create_dataset":
+                from ..pipelines.create_dataset import create_dataset
+
+                separator = None
+                if req.get("separator"):
+                    from ..interop.demucs_load import load_demucs_th
+
+                    separator = load_demucs_th(req["separator"])
+                written = create_dataset(
+                    req["inputs"], req.get("output", "./dataset"),
+                    sample_rate=int(req.get("sr", 44100)),
+                    separator=separator,
+                    clean_dataset=bool(req.get("clean")))
+                job["log"].append(f"create_dataset: {len(written)} files")
+                return
             exp_dir = req["exp_dir"]
             if kind == "preprocess":
                 from ..pipelines.preprocess import preprocess_dataset

@@ -104,21 +104,14 @@ def cmd_train(args):
     print("train: done")
 
 
-def cmd_convert(args):
-    import numpy as np
-
-    if getattr(args, "preset", ""):
-        from .utils.presets import apply_preset_to_args, load_preset
-
-        apply_preset_to_args(args, load_preset(args.preset))
-
+def _build_convert_pipeline(args):
+    """Model loading shared by `convert` and `tts` (conversion half):
+    returns (pipeline, settings)."""
     from .interop.onnx_voice import load_voice_model
     from .models import hubert as hubert_mod
     from .pipelines.convert import ConvertPipeline, ConvertSettings
     from .retrieval import load_index
-    from .utils.audio import load_audio, save_wav
 
-    _setup_logging(None)
     # .pth -> params pytree; .onnx -> OnnxVoiceModel (JAX ONNX executor)
     synth_params, cfg, meta = load_voice_model(args.model)
     version = meta.get("version", "v2")
@@ -166,6 +159,22 @@ def cmd_convert(args):
         volume_envelope=args.volume_envelope, resample_sr=args.resample_sr,
         hop_length=args.hop_length, filter_radius=args.filter_radius,
         f0_file=args.f0_file)
+    return pipe, settings
+
+
+def cmd_convert(args):
+    import numpy as np
+
+    if getattr(args, "preset", ""):
+        from .utils.presets import apply_preset_to_args, load_preset
+
+        apply_preset_to_args(args, load_preset(args.preset))
+
+    from .utils.audio import load_audio, save_wav
+
+    _setup_logging(None)
+    pipe, settings = _build_convert_pipeline(args)
+    cfg = pipe.cfg
 
     audio = load_audio(args.input, 16000)
     if args.formant_shifting:
@@ -304,6 +313,42 @@ def cmd_effects(args):
     out, out_sr = apply_effects(audio, sr, EffectsSettings(**kwargs))
     save_wav(args.output, out, out_sr)
     print(f"effects: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
+
+
+def cmd_tts(args):
+    """Synthesize speech (edge-tts protocol or Google translate TTS),
+    optionally SRT-timed, optionally converted through a voice model
+    (reference app.py TTS tab + convert_tts:1166-1207)."""
+    import numpy as np
+
+    from .utils import edge_tts_client as etc
+    from .utils.audio import save_wav
+    from .utils.i18n import tr
+    from .utils.tts import _read_tts_output, srt_tts, synthesize_tts
+
+    _setup_logging(None)
+    if not args.text and not args.srt:
+        raise SystemExit(tr("enter_the_text"))
+    print(tr("start_tts"))
+    if args.srt:
+        srt_tts(args.srt, args.output, args.voice, rate=args.rate,
+                google=args.google)
+    else:
+        synthesize_tts(
+            args.text, args.voice, args.output, rate=args.rate,
+            pitch=args.tts_pitch, google=args.google,
+            output_format=None if args.google else etc.PCM_FORMAT)
+    print(f"tts: wrote {args.output}")
+    if args.model:
+        pipe, settings = _build_convert_pipeline(args)
+        audio16 = _read_tts_output(args.output, 16000)
+        peak = np.abs(audio16).max() / 0.95
+        if peak > 1:
+            audio16 = audio16 / peak
+        out = pipe.convert_utterance(audio16, args.sid, settings)
+        out_sr = args.resample_sr if args.resample_sr else pipe.cfg.sr
+        save_wav(args.convert_output, out, out_sr)
+        print(f"tts: converted -> {args.convert_output}")
 
 
 def cmd_fuse(args):
@@ -466,6 +511,40 @@ def build_parser():
             sx.add_argument(arg, dest=fname,
                             type=type(fdef.default), default=fdef.default)
     sx.set_defaults(func=cmd_effects)
+
+    sy = sub.add_parser("tts", help="text-to-speech (+ optional conversion)")
+    sy.add_argument("--text", default="")
+    sy.add_argument("--srt", default="", help="SRT file for timed synthesis")
+    sy.add_argument("--voice", default="en-US-EmmaMultilingualNeural",
+                    help="edge voice name, or language code with --google")
+    sy.add_argument("--output", required=True, help="synthesized wav path")
+    sy.add_argument("--rate", type=int, default=0, help="speed delta %%")
+    sy.add_argument("--tts-pitch", type=int, default=0, help="pitch delta Hz")
+    sy.add_argument("--google", action="store_true",
+                    help="use Google translate TTS instead of edge")
+    sy.add_argument("--model", default="",
+                    help="voice model: also run conversion on the TTS output")
+    sy.add_argument("--convert-output", default="tts_converted.wav")
+    for flag, kw in (
+            ("--index", dict(default="")),
+            ("--sid", dict(type=int, default=0)),
+            ("--pitch", dict(type=int, default=0)),
+            ("--index-rate", dict(type=float, default=0.5)),
+            ("--protect", dict(type=float, default=0.33)),
+            ("--f0-method", dict(default="rmvpe")),
+            ("--fcpe-path", dict(default="")),
+            ("--crepe-path", dict(default="")),
+            ("--f0-file", dict(default="")),
+            ("--hop-length", dict(type=int, default=160)),
+            ("--filter-radius", dict(type=int, default=3)),
+            ("--f0-autotune", dict(action="store_true")),
+            ("--f0-autotune-strength", dict(type=float, default=1.0)),
+            ("--volume-envelope", dict(type=float, default=1.0)),
+            ("--resample-sr", dict(type=int, default=0)),
+            ("--embedder-path", dict(default="")),
+            ("--rmvpe-path", dict(default=""))):
+        sy.add_argument(flag, **kw)
+    sy.set_defaults(func=cmd_tts)
 
     sf = sub.add_parser("fuse")
     sf.add_argument("--model-a", required=True)

@@ -38,6 +38,11 @@ _EN = {
     "download_disabled": "Remote downloads are disabled in this build "
                          "(no network egress); place model files locally "
                          "and pass their paths instead.",
+    "srt_invalid": "The SRT file is empty or malformed",
+    "enter_the_text": "Please enter text to synthesize",
+    "choose_voice": "Please choose a voice",
+    "start_tts": "Synthesizing speech",
+    "tts_success": "Speech synthesis complete",
 }
 
 _current: dict = dict(_EN)

@@ -210,6 +210,109 @@ def test_separate_endpoint_mdx(tmp_path, server_port):
         assert len(out) > 0 and np.all(np.isfinite(out))
 
 
+def test_settings_endpoint(server_port):
+    r = _post(server_port, "/api/settings", {})
+    assert "en-US" in r["languages"] and "vi-VN" in r["languages"]
+    r = _post(server_port, "/api/settings", {"language": "ja-JP",
+                                             "precision": "fp32"})
+    assert r["language"] == "ja-JP" and r["precision"] == "fp32"
+    from rvc_maker_tpu.utils.i18n import set_language, tr
+    assert tr("srt_invalid") == "SRTファイルが空か不正です"
+    _post(server_port, "/api/settings", {"language": "en-US",
+                                         "precision": "bf16"})
+    set_language("en-US")
+
+
+def test_tts_endpoint(server_port):
+    from tests.test_tts import FakeReadAloudServer, _pcm_wav_bytes
+
+    srv = FakeReadAloudServer(_pcm_wav_bytes(freq=330.0, seconds=0.4))
+    try:
+        resp = _post(server_port, "/api/tts", {
+            "text": "hello", "voice": "en-US-AriaNeural",
+            "endpoint": f"ws://127.0.0.1:{srv.port}/tts"})
+        assert resp["sr"] == 24000
+        sr, out = wavfile.read(io.BytesIO(base64.b64decode(resp["audio_b64"])))
+        assert sr == 24000 and len(out) == int(0.4 * 24000)
+    finally:
+        srv.close()
+
+
+def test_tts_endpoint_with_conversion(tmp_path, server_port):
+    from tests.test_tts import FakeReadAloudServer, _pcm_wav_bytes
+
+    params = syn.init_params(jax.random.PRNGKey(2), CFG_M)
+    p = str(tmp_path / "m.pth")
+    export_synthesizer_pth(params, RVCConfig(version="v2", model=CFG_M), p)
+    srv = FakeReadAloudServer(_pcm_wav_bytes(freq=220.0, seconds=0.5))
+    try:
+        resp = _post(server_port, "/api/tts", {
+            "text": "hello", "voice": "x",
+            "endpoint": f"ws://127.0.0.1:{srv.port}/tts",
+            "model": p, "f0_method": "yin", "index_rate": 0.0})
+        sr, out = wavfile.read(io.BytesIO(
+            base64.b64decode(resp["converted_b64"])))
+        assert sr == CFG_M.sr and np.all(np.isfinite(out))
+        assert abs(len(out) / sr - 0.5) < 0.3
+    finally:
+        srv.close()
+
+
+def test_create_dataset_job(tmp_path, server_port):
+    import os
+    import time
+
+    from rvc_maker_tpu.utils.audio import save_wav
+
+    sr = 32000
+    t = np.arange(2 * sr) / sr
+    src = str(tmp_path / "src.wav")
+    save_wav(src, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    out_dir = str(tmp_path / "dataset")
+    r = _post(server_port, "/api/job_start", {
+        "kind": "create_dataset", "inputs": [src], "output": out_dir,
+        "sr": 32000})
+    for _ in range(120):
+        st = _post(server_port, "/api/job_status", {"job_id": r["job_id"]})
+        if st["done"]:
+            break
+        time.sleep(1)
+    assert st["done"] and not st["error"], st
+    assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) == 1
+
+
+def test_convert_whisper_endpoint(tmp_path, server_port):
+    import torch
+
+    from reference_util import ref_module
+
+    mod = ref_module("main.library.speaker_diarization.ECAPA_TDNN")
+    torch.manual_seed(0)
+    net = mod.ECAPA_TDNN(input_size=80).eval()
+    ckpt = str(tmp_path / "ecapa.ckpt")
+    torch.save(net.state_dict(), ckpt)
+
+    params = syn.init_params(jax.random.PRNGKey(3), CFG_M)
+    p = str(tmp_path / "m.pth")
+    export_synthesizer_pth(params, RVCConfig(version="v2", model=CFG_M), p)
+
+    # two bursts of tone separated by silence -> energy VAD segments
+    sr = 16000
+    t = np.arange(int(1.2 * sr)) / sr
+    burst = 0.4 * np.sin(2 * np.pi * 220 * t)
+    audio = np.concatenate([burst, np.zeros(sr // 2), burst]).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (audio * 32767).astype(np.int16))
+
+    resp = _post(server_port, "/api/convert_whisper", {
+        "audio_b64": base64.b64encode(buf.getvalue()).decode(),
+        "model_a": p, "model_b": p, "ecapa": ckpt,
+        "f0_method": "yin", "index_rate": 0.0})
+    out_sr, out = wavfile.read(io.BytesIO(base64.b64decode(resp["audio_b64"])))
+    assert out_sr == CFG_M.sr
+    assert np.all(np.isfinite(out)) and np.abs(out).max() > 0
+
+
 def test_download_endpoint_error_surface(server_port):
     import urllib.error
 
