@@ -54,10 +54,17 @@ def create_dataset(inputs: Sequence[str], output_dataset: str, *,
     paths: list[str] = []
     for i, src in enumerate(inputs):
         if src.startswith(("http://", "https://")):
-            from ..utils.downloads import download_url
+            from ..utils.youtube import download_audio_wav, is_youtube_url
 
             local = os.path.join(workdir, f"audio_{i}.wav")
-            download_url(src, local)
+            if is_youtube_url(src):
+                # reference downloader (create_dataset.py:135-146):
+                # yt-dlp bestaudio -> wav; here the native InnerTube client
+                download_audio_wav(src, local, sample_rate=sample_rate)
+            else:
+                from ..utils.downloads import download_url
+
+                download_url(src, local)
         else:
             local = src
         audio, sr = read_wav(local)
