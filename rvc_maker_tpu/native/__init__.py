@@ -63,6 +63,16 @@ def _load():
         lib.resample_sinc.argtypes = [flt_p, ctypes.c_longlong,
                                       ctypes.c_longlong, ctypes.c_longlong,
                                       ctypes.c_int, ctypes.c_double, flt_p]
+        u8_p = ctypes.POINTER(ctypes.c_uint8)
+        i32_p = ctypes.POINTER(ctypes.c_int32)
+        int_p = ctypes.POINTER(ctypes.c_int)
+        ll_p = ctypes.POINTER(ctypes.c_longlong)
+        lib.flac_probe.restype = ctypes.c_int
+        lib.flac_probe.argtypes = [u8_p, ctypes.c_longlong, int_p, int_p,
+                                   int_p, ll_p]
+        lib.flac_decode.restype = ctypes.c_longlong
+        lib.flac_decode.argtypes = [u8_p, ctypes.c_longlong, i32_p,
+                                    ctypes.c_longlong]
         _lib = lib
     except Exception as e:  # toolchain missing -> python fallbacks
         logger.warning("native library unavailable (%s); using python fallbacks", e)
@@ -121,6 +131,37 @@ def harvest(x: np.ndarray, fs: int, *, f0_floor: float = 50.0,
     f0, t = dio(x, fs, f0_floor=f0_floor, f0_ceil=f0_ceil,
                 frame_period=frame_period)
     return stonemask(x, fs, t, f0), t
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream -> (float32 audio in [-1,1], (T,) mono or
+    (T, C), sample_rate).  Our own C++ decoder (native/src/flacdec.cpp);
+    the reference reads .flac via libsndfile which this image lacks."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.frombuffer(data, np.uint8)
+    u8 = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    total = ctypes.c_longlong()
+    err = lib.flac_probe(u8, len(buf), ctypes.byref(sr), ctypes.byref(ch),
+                         ctypes.byref(bps), ctypes.byref(total))
+    if err:
+        raise ValueError(f"not a decodable FLAC stream (err {err})")
+    cap = (int(total.value) or (len(data) * 8 // max(bps.value, 1) + 65536)) \
+        * ch.value + 65536 * ch.value
+    out = np.zeros(cap, np.int32)
+    n = lib.flac_decode(u8, len(buf),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        cap)
+    if n < 0:
+        raise ValueError(f"FLAC decode failed (err {-n})")
+    pcm = out[:n].astype(np.float32) / float(1 << (bps.value - 1))
+    if ch.value > 1:
+        pcm = pcm.reshape(-1, ch.value)
+    return pcm, int(sr.value)
 
 
 def resample_sinc(x: np.ndarray, sr_in: int, sr_out: int, *,

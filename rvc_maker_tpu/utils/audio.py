@@ -29,7 +29,16 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 array in [-1, 1] (T,) or (T, C), sr)."""
+    """Read a WAV or FLAC file -> (float32 array in [-1, 1] (T,) or
+    (T, C), sr).  FLAC decodes through our native C++ decoder
+    (native/src/flacdec.cpp) — the reference reads it via libsndfile."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from ..native import flac_decode
+
+        with open(path, "rb") as f:
+            return flac_decode(f.read())
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0
