@@ -198,8 +198,14 @@ def cmd_convert(args):
         from .utils.noisereduce import reduce_noise
 
         out = reduce_noise(out, out_sr, prop_decrease=args.clean_strength)
-    save_wav(args.output, out, out_sr)
-    print(f"convert: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
+    if getattr(args, "export_format", "wav") != "wav":
+        from .utils.audio import save_audio
+
+        written = save_audio(args.output, out, out_sr, args.export_format)
+    else:
+        save_wav(args.output, out, out_sr)
+        written = args.output
+    print(f"convert: wrote {written} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
 
 
 def cmd_separate(args):
@@ -351,6 +357,39 @@ def cmd_tts(args):
         print(f"tts: converted -> {args.convert_output}")
 
 
+def cmd_diarize_convert(args):
+    """Diarized two-model conversion (reference convert_with_whisper,
+    app.py:1022-1164): segment -> ECAPA cluster -> alternate models."""
+    import copy
+
+    from .models.ecapa_tdnn import load_ecapa_ckpt
+    from .speaker.diarize import convert_with_diarization
+    from .utils.audio import load_audio, save_wav
+
+    _setup_logging(None)
+    audio16 = load_audio(args.input, 16000)
+    pipes, settings_list = [], []
+    for model in [args.model, args.model_b or args.model]:
+        a = copy.copy(args)
+        a.model = model
+        pipe, settings = _build_convert_pipeline(a)
+        pipes.append(pipe)
+        settings_list.append(settings)
+    ecapa_params = load_ecapa_ckpt(args.ecapa)
+    whisper = None
+    if args.whisper:
+        from .models.whisper import load_whisper_pt
+        from .speaker.whisper_tokenizer import WhisperTokenizer
+
+        params, dims = load_whisper_pt(args.whisper)
+        whisper = (params, dims,
+                   WhisperTokenizer(args.vocab, multilingual=True))
+    out = convert_with_diarization(audio16, pipes, settings_list,
+                                   ecapa_params, whisper=whisper)
+    save_wav(args.output, out, pipes[0].cfg.sr)
+    print(f"diarize-convert: wrote {args.output}")
+
+
 def cmd_fuse(args):
     from .utils.model_tools import fuse_models
 
@@ -459,6 +498,8 @@ def build_parser():
     sc.add_argument("--embedder-path", default="")
     sc.add_argument("--rmvpe-path", default="")
     sc.add_argument("--split-audio", action="store_true")
+    sc.add_argument("--export-format", default="wav",
+                    help="wav | flac (native) | mp3/ogg/m4a (ffmpeg)")
     sc.set_defaults(func=cmd_convert)
 
     ss = sub.add_parser("separate")
@@ -545,6 +586,39 @@ def build_parser():
             ("--rmvpe-path", dict(default=""))):
         sy.add_argument(flag, **kw)
     sy.set_defaults(func=cmd_tts)
+
+    sv = sub.add_parser("diarize-convert",
+                        help="multi-speaker conversion: diarize, then "
+                             "alternate two voice models per speaker")
+    sv.add_argument("--input", required=True)
+    sv.add_argument("--output", required=True)
+    sv.add_argument("--model", required=True, help="voice model A")
+    sv.add_argument("--model-b", default="", help="voice model B")
+    sv.add_argument("--ecapa", required=True, help="ECAPA-TDNN ckpt")
+    sv.add_argument("--whisper", default="",
+                    help="whisper .pt for segment boundaries (default: "
+                         "energy VAD)")
+    sv.add_argument("--vocab", default="", help="tiktoken vocab (w/ whisper)")
+    for flag, kw in (
+            ("--index", dict(default="")),
+            ("--sid", dict(type=int, default=0)),
+            ("--pitch", dict(type=int, default=0)),
+            ("--index-rate", dict(type=float, default=0.5)),
+            ("--protect", dict(type=float, default=0.33)),
+            ("--f0-method", dict(default="rmvpe")),
+            ("--fcpe-path", dict(default="")),
+            ("--crepe-path", dict(default="")),
+            ("--f0-file", dict(default="")),
+            ("--hop-length", dict(type=int, default=160)),
+            ("--filter-radius", dict(type=int, default=3)),
+            ("--f0-autotune", dict(action="store_true")),
+            ("--f0-autotune-strength", dict(type=float, default=1.0)),
+            ("--volume-envelope", dict(type=float, default=1.0)),
+            ("--resample-sr", dict(type=int, default=0)),
+            ("--embedder-path", dict(default="")),
+            ("--rmvpe-path", dict(default=""))):
+        sv.add_argument(flag, **kw)
+    sv.set_defaults(func=cmd_diarize_convert)
 
     sf = sub.add_parser("fuse")
     sf.add_argument("--model-a", required=True)

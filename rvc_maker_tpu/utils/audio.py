@@ -64,6 +64,11 @@ def load_audio(path: str, target_sr: int = 16000) -> np.ndarray:
 def save_wav(path: str, audio: np.ndarray, sr: int,
              subtype: str = "pcm16") -> None:
     audio = np.asarray(audio)
+    if path.lower().endswith(".flac"):
+        from .flac_enc import write_flac
+
+        write_flac(path, np.clip(audio, -1.0, 1.0), sr)
+        return
     if subtype == "pcm16":
         clipped = np.clip(audio, -1.0, 1.0)
         wavfile.write(path, sr, (clipped * 32767.0).astype(np.int16))
@@ -71,3 +76,36 @@ def save_wav(path: str, audio: np.ndarray, sr: int,
         wavfile.write(path, sr, audio.astype(np.float32))
     else:
         raise ValueError(f"unknown subtype {subtype!r}")
+
+
+def save_audio(path: str, audio: np.ndarray, sr: int,
+               export_format: str = "wav") -> str:
+    """Write with an explicit container (reference --export_format,
+    convert.py): wav + flac natively; other formats need ffmpeg."""
+    fmt = export_format.lower()
+    base = path
+    for ext in (".wav", ".flac", ".mp3", ".ogg", ".m4a"):
+        if base.lower().endswith(ext):
+            base = base[: -len(ext)]
+            break
+    if fmt == "wav":
+        save_wav(base + ".wav", audio, sr)
+        return base + ".wav"
+    if fmt == "flac":
+        save_wav(base + ".flac", audio, sr)
+        return base + ".flac"
+    import shutil as _sh
+    import subprocess as _sp
+
+    ffmpeg = _sh.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"export format {fmt!r} needs ffmpeg (wav/flac are native)")
+    tmp = base + ".tmp.wav"
+    save_wav(tmp, audio, sr)
+    out = f"{base}.{fmt}"
+    _sp.run([ffmpeg, "-y", "-i", tmp, out], check=True, capture_output=True)
+    import os as _os
+
+    _os.remove(tmp)
+    return out

@@ -262,6 +262,47 @@ def test_read_wav_routes_flac(tmp_path):
     assert len(out) == len(sig)
 
 
+def test_encoder_roundtrip_mono():
+    from rvc_maker_tpu.utils.flac_enc import encode_flac
+
+    sig = _pcm16_tone(20000, freq=180.0)
+    audio, sr = native.flac_decode(encode_flac(sig / 32768.0, 16000))
+    assert sr == 16000
+    np.testing.assert_array_equal(
+        np.round(audio * 32768).astype(np.int64), sig)
+
+
+def test_encoder_roundtrip_stereo_and_noise():
+    from rvc_maker_tpu.utils.flac_enc import encode_flac
+
+    rs = np.random.RandomState(3)
+    noise = (rs.randn(9000, 2) * 3000).astype(np.int64).clip(-32768, 32767)
+    audio, sr = native.flac_decode(encode_flac(noise / 32768.0, 44100))
+    assert sr == 44100 and audio.shape == (9000, 2)
+    np.testing.assert_array_equal(
+        np.round(audio * 32768).astype(np.int64), noise)
+
+
+def test_encoder_compresses_tones():
+    from rvc_maker_tpu.utils.flac_enc import encode_flac
+
+    sig = _pcm16_tone(48000, freq=220.0)
+    data = encode_flac(sig / 32768.0, 48000)
+    assert len(data) < 2 * len(sig) * 0.7   # < 70% of raw PCM16
+
+
+def test_save_audio_flac(tmp_path):
+    from rvc_maker_tpu.utils.audio import read_wav, save_audio
+
+    sig = _pcm16_tone(5000)
+    out = save_audio(str(tmp_path / "o.wav"), sig / 32768.0, 16000, "flac")
+    assert out.endswith(".flac")
+    audio, sr = read_wav(out)
+    assert sr == 16000
+    np.testing.assert_array_equal(
+        np.round(audio * 32768).astype(np.int64), sig)
+
+
 def test_probe_rejects_garbage():
     with pytest.raises(ValueError):
         native.flac_decode(b"RIFF1234WAVEfmt ")
