@@ -289,6 +289,21 @@ def _resblock(p: Params, x, *, kernel_size: int, dilations):
     return x
 
 
+def _resblock_blocked(p: Params, x, *, kernel_size: int, dilations):
+    """Same chain with time-blocked convs (ops/blocked_conv.py): for
+    C < 128 each conv becomes a handful of dense 128-lane matmuls
+    instead of an MXU-starved NWC conv."""
+    from ..ops.blocked_conv import conv1d_blocked
+
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        y = leaky_relu(x, LRELU_SLOPE)
+        y = conv1d_blocked(y, c1["w"], c1["b"], dilation=d)
+        y = leaky_relu(y, LRELU_SLOPE)
+        y = conv1d_blocked(y, c2["w"], c2["b"], dilation=1)
+        x = y + x
+    return x
+
+
 def _stage_paddings(cfg: ModelConfig):
     """Per-stage (convT padding, output_padding) and noise-conv geometry."""
     rates = cfg.upsample_rates
@@ -307,9 +322,27 @@ def _stage_paddings(cfg: ModelConfig):
     return out
 
 
-def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise):
+def use_pallas_default() -> bool:
+    """Custom decode kernels (fused Pallas resblock + time-blocked conv):
+    opt-in via RVC_TPU_PALLAS=1.  Measured on the tunneled v5e chip the
+    XLA conv path wins end-to-end (165 vs 80 audio-sec/s/chip at B=8
+    bf16), so the default stays off; the kernels remain as tested,
+    benchmarkable alternatives (ops/pallas_resblock.py,
+    ops/blocked_conv.py) for backends where XLA's small-channel NWC
+    convs are the bottleneck."""
+    import os
+
+    return os.environ.get("RVC_TPU_PALLAS", "0") == "1"
+
+
+def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
+                  use_pallas: bool = False):
     """NSF-HiFiGAN decode. x: (B, T, inter); f0: (B, T) Hz; g: (B, 1, gin);
-    sine_noise: (B, T*upp, 1). Returns waveform (B, T*upp, 1)."""
+    sine_noise: (B, T*upp, 1). Returns waveform (B, T*upp, 1).
+
+    use_pallas: run each resblock chain as one fused Pallas kernel
+    (ops/pallas_resblock.py) on the stages whose weights fit VMEM —
+    inference paths only (no VJP defined)."""
     har = source_module(p["source"], f0, sine_noise, upp=cfg.upp,
                         sample_rate=cfg.sr)                     # (B, T*upp, 1)
     # sine phase accumulation is fp32 regardless of compute dtype; cast
@@ -330,8 +363,31 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise):
         xs = None
         for j, (ks, ds) in enumerate(zip(cfg.resblock_kernel_sizes,
                                          cfg.resblock_dilation_sizes)):
-            r = _resblock(p["resblocks"][i * nk + j], x, kernel_size=ks,
-                          dilations=ds)
+            rb = p["resblocks"][i * nk + j]
+            if use_pallas:
+                from ..ops.blocked_conv import blockable
+                from ..ops.pallas_resblock import (fused_resblock,
+                                                   pack_resblock_weights,
+                                                   vmem_budget_ok)
+                if blockable(x.shape[-1]) > 1:
+                    # C < 128: time-blocked matmul rewrite (pure XLA)
+                    r = _resblock_blocked(rb, x, kernel_size=ks,
+                                          dilations=ds)
+                    xs = r if xs is None else xs + r
+                    continue
+                if vmem_budget_ok(ks, ds, x.shape[-1],
+                                  itemsize=x.dtype.itemsize):
+                    # C a lane multiple: fused Pallas chain
+                    packed = pack_resblock_weights(rb, kernel_size=ks,
+                                                   dilations=ds,
+                                                   dtype=x.dtype)
+                    r = fused_resblock(
+                        x, *packed, kernel_size=ks, dilations=ds,
+                        interpret=jax.default_backend()
+                        not in ("tpu", "axon"))
+                    xs = r if xs is None else xs + r
+                    continue
+            r = _resblock(rb, x, kernel_size=ks, dilations=ds)
             xs = r if xs is None else xs + r
         x = xs / nk
 
@@ -345,7 +401,7 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise):
 # ---------------------------------------------------------------------------
 
 def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
-              nsff0, sid, rng):
+              nsff0, sid, rng, *, use_pallas: bool = False):
     """Inference with decoder dispatch on cfg.vocoder (Default NSF /
     MRF HiFi-GAN / RefineGAN), PRNG-driven noise (production mode).
 
@@ -388,11 +444,12 @@ def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
         return voc.refinegan(params["dec"], cfg, z, nsff0, g, noise,
                              adain_noises, rand_ini)
     sine_noise = jax.random.normal(k_src, (b, t * cfg.upp, 1), z.dtype)
-    return generator_nsf(params["dec"], cfg, z, nsff0, g, sine_noise)
+    return generator_nsf(params["dec"], cfg, z, nsff0, g, sine_noise,
+                         use_pallas=use_pallas)
 
 
 def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
-          nsff0, sid, z_noise, sine_noise):
+          nsff0, sid, z_noise, sine_noise, *, use_pallas: bool = False):
     """Inference path (reference synthesizers.py:446-465).
 
     phone: (B, T, emb_dim); pitch: (B, T) int or None; nsff0: (B, T) Hz;
@@ -404,7 +461,8 @@ def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
                                        phone_lengths)
     z_p = (m_p + jnp.exp(logs_p) * z_noise * 0.66666) * x_mask
     z = flow(params["flow"], z_p, x_mask, g, reverse=True)
-    o = generator_nsf(params["dec"], cfg, z * x_mask, nsff0, g, sine_noise)
+    o = generator_nsf(params["dec"], cfg, z * x_mask, nsff0, g, sine_noise,
+                      use_pallas=use_pallas)
     return o, x_mask, (z, z_p, m_p, logs_p)
 
 

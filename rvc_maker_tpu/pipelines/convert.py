@@ -87,7 +87,7 @@ class ConvertPipeline:
                  crepe_params: Any = None,
                  index_vectors: Optional[np.ndarray] = None,
                  rmvpe_microbatch: int = 8, max_device_batch: int = 8,
-                 compute_dtype=None, mesh=None):
+                 compute_dtype=None, mesh=None, use_pallas=None):
         """compute_dtype: None (fp32 parity) or jnp.bfloat16 fast mode —
         model weights and activations run bf16 while F0 decode, sine
         phase accumulation and STFTs stay fp32.
@@ -105,6 +105,17 @@ class ConvertPipeline:
             self._n_mesh = int(_np.prod(list(mesh.devices.shape)))
         self.max_device_batch = max_device_batch * self._n_mesh
         self.compute_dtype = compute_dtype
+        # fused Pallas resblocks in the NSF decode (auto: on for TPU;
+        # RVC_TPU_PALLAS overrides — see synthesizer.use_pallas_default)
+        from ..models.synthesizer import use_pallas_default
+
+        self.use_pallas = (use_pallas_default() if use_pallas is None
+                           else bool(use_pallas))
+        if mesh is not None:
+            # pallas_call needs explicit partitioning rules under pjit;
+            # the mesh path stays on the XLA convs (single-chip keeps
+            # the fused kernel)
+            self.use_pallas = False
 
         def _prep(tree):
             if tree is None:
@@ -268,7 +279,8 @@ class ConvertPipeline:
                     wav = syn.infer_any(synth_params, cfg, feats,
                                         frame_lengths,
                                         pitch if cfg.use_f0 else None,
-                                        pitchf, sid, rng)
+                                        pitchf, sid, rng,
+                                        use_pallas=self.use_pallas)
                     return wav[:, :, 0].astype(jnp.float32), pitchf
                 k1, k2 = jax.random.split(rng)
                 z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels),
@@ -277,7 +289,8 @@ class ConvertPipeline:
                                                cdtype)
                 wav, _, _ = syn.infer(synth_params, cfg, feats, frame_lengths,
                                       pitch if cfg.use_f0 else None, pitchf,
-                                      sid, z_noise, sine_noise)
+                                      sid, z_noise, sine_noise,
+                                      use_pallas=self.use_pallas)
                 return wav[:, :, 0].astype(jnp.float32), pitchf
 
             jitted = jax.jit(synth_fn)
