@@ -106,17 +106,35 @@ def synthesizer_state_dict(params, cfg: ModelConfig) -> "OrderedDict":
 
     dec = params["dec"]
     _add(sd, "dec.conv_pre", _conv_to_torch(dec["conv_pre"]))
-    for i, lp in enumerate(dec["ups"]):
-        _add(sd, f"dec.ups.{i}", _convt_to_torch(lp, True))
-    for i, lp in enumerate(dec["noise_convs"]):
-        _add(sd, f"dec.noise_convs.{i}", _conv_to_torch(lp))
-    for j, rb in enumerate(dec["resblocks"]):
-        for k, c in enumerate(rb["convs1"]):
-            _add(sd, f"dec.resblocks.{j}.convs1.{k}", _conv_to_torch(c, True))
-        for k, c in enumerate(rb["convs2"]):
-            _add(sd, f"dec.resblocks.{j}.convs2.{k}", _conv_to_torch(c, True))
+    if "source" in dec:
+        # NSF decoder layout (use_f0 models)
+        for i, lp in enumerate(dec["ups"]):
+            _add(sd, f"dec.ups.{i}", _convt_to_torch(lp, True))
+        for i, lp in enumerate(dec["noise_convs"]):
+            _add(sd, f"dec.noise_convs.{i}", _conv_to_torch(lp))
+        for j, rb in enumerate(dec["resblocks"]):
+            for k, c in enumerate(rb["convs1"]):
+                _add(sd, f"dec.resblocks.{j}.convs1.{k}", _conv_to_torch(c, True))
+            for k, c in enumerate(rb["convs2"]):
+                _add(sd, f"dec.resblocks.{j}.convs2.{k}", _conv_to_torch(c, True))
+        _add(sd, "dec.m_source.l_linear",
+             _linear_to_torch(dec["source"]["l_linear"]))
+    else:
+        # plain Generator: interleaved ups_and_resblocks ModuleList
+        # (reference synthesizers.py:27-33)
+        nk = len(dec["resblocks"]) // len(dec["ups"])
+        stride = 1 + nk
+        for i, lp in enumerate(dec["ups"]):
+            _add(sd, f"dec.ups_and_resblocks.{i * stride}",
+                 _convt_to_torch(lp, True))
+        for j, rb in enumerate(dec["resblocks"]):
+            i_stage, j_in = divmod(j, nk)
+            base = f"dec.ups_and_resblocks.{i_stage * stride + 1 + j_in}"
+            for k, c in enumerate(rb["convs1"]):
+                _add(sd, f"{base}.convs1.{k}", _conv_to_torch(c, True))
+            for k, c in enumerate(rb["convs2"]):
+                _add(sd, f"{base}.convs2.{k}", _conv_to_torch(c, True))
     _add(sd, "dec.conv_post", _conv_to_torch(dec["conv_post"]))
-    _add(sd, "dec.m_source.l_linear", _linear_to_torch(dec["source"]["l_linear"]))
     if "cond" in dec:
         _add(sd, "dec.cond", _linear_as_conv1x1(dec["cond"]))
     sd["emb_g.weight"] = _t(params["emb_g"]["w"])

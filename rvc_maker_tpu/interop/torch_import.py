@@ -191,20 +191,38 @@ def synthesizer_params_from_state_dict(sd: Mapping[str, Any],
     nk = len(cfg.resblock_kernel_sizes)
     dec = {
         "conv_pre": conv_from(sd, "dec.conv_pre"),
-        "ups": [convt_from(sd, f"dec.ups.{i}") for i in range(n_up)],
-        "noise_convs": [conv_from(sd, f"dec.noise_convs.{i}") for i in range(n_up)],
         "resblocks": [],
         "conv_post": conv_from(sd, "dec.conv_post"),
-        "source": {"l_linear": linear_from(sd, "dec.m_source.l_linear")},
     }
+    if "dec.m_source.l_linear.weight" in sd:
+        # NSF decoder (use_f0 models)
+        dec["ups"] = [convt_from(sd, f"dec.ups.{i}") for i in range(n_up)]
+        dec["noise_convs"] = [conv_from(sd, f"dec.noise_convs.{i}")
+                              for i in range(n_up)]
+        dec["source"] = {"l_linear": linear_from(sd, "dec.m_source.l_linear")}
+        resblock_key = "dec.resblocks.{j}.convs{c}.{k}"
+    else:
+        # plain Generator (f0-less): ups and resblocks interleave in one
+        # ModuleList `ups_and_resblocks` (reference synthesizers.py:27-33)
+        stride = 1 + nk
+        dec["ups"] = [convt_from(sd, f"dec.ups_and_resblocks.{i * stride}")
+                      for i in range(n_up)]
+        resblock_key = None
     if "dec.cond.weight" in sd:
         dec["cond"] = conv1x1_as_linear(sd, "dec.cond")
     for j in range(n_up * nk):
         rb = {"convs1": [], "convs2": []}
         n_d = len(cfg.resblock_dilation_sizes[j % nk])
+        if resblock_key is None:
+            # interleaved index: stage i occupies [i*(1+nk)], resblock j'
+            # of stage i sits at i*(1+nk) + 1 + j'
+            i_stage, j_in = divmod(j, nk)
+            base = f"dec.ups_and_resblocks.{i_stage * (1 + nk) + 1 + j_in}"
+        else:
+            base = f"dec.resblocks.{j}"
         for k in range(n_d):
-            rb["convs1"].append(conv_from(sd, f"dec.resblocks.{j}.convs1.{k}"))
-            rb["convs2"].append(conv_from(sd, f"dec.resblocks.{j}.convs2.{k}"))
+            rb["convs1"].append(conv_from(sd, f"{base}.convs1.{k}"))
+            rb["convs2"].append(conv_from(sd, f"{base}.convs2.{k}"))
         dec["resblocks"].append(rb)
     params["dec"] = dec
     return params

@@ -335,6 +335,55 @@ def use_pallas_default() -> bool:
     return os.environ.get("RVC_TPU_PALLAS", "0") == "1"
 
 
+def _resblock_opt(rb: Params, x, *, kernel_size: int, dilations,
+                  use_pallas: bool):
+    """Resblock with the optional optimized implementations (time-blocked
+    conv rewrite for C < 128, fused Pallas chain for lane-multiple C)."""
+    if use_pallas:
+        from ..ops.blocked_conv import blockable
+        from ..ops.pallas_resblock import (fused_resblock,
+                                           pack_resblock_weights,
+                                           vmem_budget_ok)
+        if blockable(x.shape[-1]) > 1:
+            return _resblock_blocked(rb, x, kernel_size=kernel_size,
+                                     dilations=dilations)
+        if vmem_budget_ok(kernel_size, dilations, x.shape[-1],
+                          itemsize=x.dtype.itemsize):
+            packed = pack_resblock_weights(rb, kernel_size=kernel_size,
+                                           dilations=dilations,
+                                           dtype=x.dtype)
+            return fused_resblock(
+                x, *packed, kernel_size=kernel_size, dilations=dilations,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+    return _resblock(rb, x, kernel_size=kernel_size, dilations=dilations)
+
+
+def generator(p: Params, cfg: ModelConfig, x, g, *, use_pallas: bool = False):
+    """Plain HiFi-GAN decode for f0-less models (reference
+    synthesizers.py:21-67 Generator; selected when use_f0 is false,
+    synthesizers.py:424).  x: (B, T, inter); g: (B, 1, gin) or None."""
+    x = conv1d(x, p["conv_pre"]["w"], p["conv_pre"]["b"], padding=3)
+    if g is not None and "cond" in p:
+        x = x + linear(g, p["cond"]["w"], p["cond"]["b"])
+    nk = len(cfg.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                   cfg.upsample_kernel_sizes)):
+        x = leaky_relu(x, LRELU_SLOPE)
+        # plain Generator: symmetric padding, no output_padding (:30)
+        x = conv_transpose1d(x, p["ups"][i]["w"], p["ups"][i]["b"],
+                             stride=u, padding=(k - u) // 2)
+        xs = None
+        for j, (ks, ds) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            r = _resblock_opt(p["resblocks"][i * nk + j], x, kernel_size=ks,
+                              dilations=ds, use_pallas=use_pallas)
+            xs = r if xs is None else xs + r
+        x = xs / nk
+    x = leaky_relu(x, 0.01)   # torch F.leaky_relu default (:56)
+    x = conv1d(x, p["conv_post"]["w"], None, padding=3)  # bias=False
+    return jnp.tanh(x)
+
+
 def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
                   use_pallas: bool = False):
     """NSF-HiFiGAN decode. x: (B, T, inter); f0: (B, T) Hz; g: (B, 1, gin);
@@ -363,31 +412,8 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
         xs = None
         for j, (ks, ds) in enumerate(zip(cfg.resblock_kernel_sizes,
                                          cfg.resblock_dilation_sizes)):
-            rb = p["resblocks"][i * nk + j]
-            if use_pallas:
-                from ..ops.blocked_conv import blockable
-                from ..ops.pallas_resblock import (fused_resblock,
-                                                   pack_resblock_weights,
-                                                   vmem_budget_ok)
-                if blockable(x.shape[-1]) > 1:
-                    # C < 128: time-blocked matmul rewrite (pure XLA)
-                    r = _resblock_blocked(rb, x, kernel_size=ks,
-                                          dilations=ds)
-                    xs = r if xs is None else xs + r
-                    continue
-                if vmem_budget_ok(ks, ds, x.shape[-1],
-                                  itemsize=x.dtype.itemsize):
-                    # C a lane multiple: fused Pallas chain
-                    packed = pack_resblock_weights(rb, kernel_size=ks,
-                                                   dilations=ds,
-                                                   dtype=x.dtype)
-                    r = fused_resblock(
-                        x, *packed, kernel_size=ks, dilations=ds,
-                        interpret=jax.default_backend()
-                        not in ("tpu", "axon"))
-                    xs = r if xs is None else xs + r
-                    continue
-            r = _resblock(rb, x, kernel_size=ks, dilations=ds)
+            r = _resblock_opt(p["resblocks"][i * nk + j], x, kernel_size=ks,
+                              dilations=ds, use_pallas=use_pallas)
             xs = r if xs is None else xs + r
         x = xs / nk
 
@@ -414,6 +440,11 @@ def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
     z_noise = jax.random.normal(k_z, m_p.shape, m_p.dtype)
     z_p = (m_p + jnp.exp(logs_p) * z_noise * 0.66666) * x_mask
     z = flow(params["flow"], z_p, x_mask, g, reverse=True) * x_mask
+
+    if not cfg.use_f0:
+        # f0-less models decode with the plain Generator regardless of
+        # vocoder (reference synthesizers.py:424)
+        return generator(params["dec"], cfg, z, g, use_pallas=use_pallas)
 
     voc_name = cfg.vocoder
     if voc_name in ("MRF HiFi-GAN", "MRF-HiFi-GAN"):
@@ -461,7 +492,11 @@ def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
                                        phone_lengths)
     z_p = (m_p + jnp.exp(logs_p) * z_noise * 0.66666) * x_mask
     z = flow(params["flow"], z_p, x_mask, g, reverse=True)
-    o = generator_nsf(params["dec"], cfg, z * x_mask, nsff0, g, sine_noise,
+    if cfg.use_f0:
+        o = generator_nsf(params["dec"], cfg, z * x_mask, nsff0, g,
+                          sine_noise, use_pallas=use_pallas)
+    else:
+        o = generator(params["dec"], cfg, z * x_mask, g,
                       use_pallas=use_pallas)
     return o, x_mask, (z, z_p, m_p, logs_p)
 
@@ -483,9 +518,13 @@ def train_forward(params: Params, cfg: ModelConfig, phone, phone_lengths,
                                                y_lengths, g, post_noise)
     seg = cfg.segment_size
     z_slice, ids_slice = rand_slice_segments(k_slice, z, y_lengths, seg)
-    pitchf_slice = slice_segments(pitchf, ids_slice, seg)
-    sine_noise = jax.random.normal(k_sine, (z.shape[0], seg * cfg.upp, 1))
-    y_hat = generator_nsf(params["dec"], cfg, z_slice, pitchf_slice, g, sine_noise)
+    if cfg.use_f0:
+        pitchf_slice = slice_segments(pitchf, ids_slice, seg)
+        sine_noise = jax.random.normal(k_sine, (z.shape[0], seg * cfg.upp, 1))
+        y_hat = generator_nsf(params["dec"], cfg, z_slice, pitchf_slice, g,
+                              sine_noise)
+    else:
+        y_hat = generator(params["dec"], cfg, z_slice, g)
     z_flowed = flow(params["flow"], z, y_mask, g, reverse=False)
     return y_hat, ids_slice, x_mask, y_mask, (z, z_flowed, m_p, logs_p, m_q, logs_q)
 
@@ -605,11 +644,13 @@ def init_params(key, cfg: ModelConfig) -> Params:
         "conv_pre": _torch_conv_init(next(keys), 7, inter, uic),
         "cond": _linear_init(next(keys), cfg.gin_channels, uic),
         "ups": ups,
-        "noise_convs": noise_convs,
         "resblocks": resblocks,
         "conv_post": {"w": jax.random.normal(next(keys), (7, channels[-1], 1)) * 0.01},
-        "source": {"l_linear": _linear_init(next(keys), 1, 1)},
     }
+    if cfg.use_f0:
+        # harmonic source path exists only on the NSF decoder
+        dec["noise_convs"] = noise_convs
+        dec["source"] = {"l_linear": _linear_init(next(keys), 1, 1)}
 
     return {
         "enc_p": enc_p,
