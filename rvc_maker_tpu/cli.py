@@ -96,11 +96,16 @@ def cmd_train(args):
     from .pipelines.train_loop import train
 
     _setup_logging(args.exp_dir, "train")
-    cfg = preset(args.version, args.sample_rate)
+    cfg = preset(args.version, args.sample_rate, vocoder=args.vocoder,
+                 pitch_guidance=args.pitch_guidance)
     train(args.exp_dir, cfg, total_epochs=args.epochs,
           batch_size=args.batch_size, save_every_epoch=args.save_every_epoch,
           save_only_latest=not args.save_all, pretrain_g=args.pretrain_g,
-          pretrain_d=args.pretrain_d)
+          pretrain_d=args.pretrain_d, author=args.model_author,
+          model_name=args.model_name,
+          overtraining_detector=not args.no_overtraining_detector,
+          overtraining_threshold=args.overtraining_threshold,
+          save_every_weights=not args.no_save_every_weights)
     print("train: done")
 
 
@@ -464,6 +469,17 @@ def build_parser():
     st.add_argument("--save-all", action="store_true")
     st.add_argument("--pretrain-g", default="")
     st.add_argument("--pretrain-d", default="")
+    st.add_argument("--vocoder", default="Default",
+                    choices=["Default", "MRF HiFi-GAN", "RefineGAN"])
+    st.add_argument("--no-pitch-guidance", dest="pitch_guidance",
+                    action="store_false",
+                    help="train an f0-less model (plain Generator decode)")
+    st.add_argument("--model-name", default="")
+    st.add_argument("--model-author", default="")
+    st.add_argument("--no-overtraining-detector", action="store_true")
+    st.add_argument("--overtraining-threshold", type=int, default=50)
+    st.add_argument("--no-save-every-weights", action="store_true",
+                    help="export inference weights only at the end")
     st.set_defaults(func=cmd_train)
 
     sc = sub.add_parser("convert")

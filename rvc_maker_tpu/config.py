@@ -137,10 +137,14 @@ _SEGMENT = {
 }
 
 
-def preset(version: str = "v2", sample_rate: int = 40000) -> RVCConfig:
+def preset(version: str = "v2", sample_rate: int = 40000, *,
+           vocoder: str = "Default",
+           pitch_guidance: bool = True) -> RVCConfig:
     """Return the training/model preset for (version, sample_rate).
 
-    Mirrors main/configs/{v1,v2}/{sr}.json from the reference.
+    Mirrors main/configs/{v1,v2}/{sr}.json from the reference; vocoder
+    and pitch_guidance mirror the train CLI's --vocoder /
+    --pitch_guidance (reference train.py:76-100).
     """
     if version not in ("v1", "v2"):
         raise ValueError(f"unknown version {version!r}")
@@ -157,6 +161,8 @@ def preset(version: str = "v2", sample_rate: int = 40000) -> RVCConfig:
         upsample_kernel_sizes=kernels,
         sr=sample_rate,
         text_enc_hidden_dim=768 if version == "v2" else 256,
+        vocoder=vocoder,
+        use_f0=pitch_guidance,
     )
     train = TrainConfig(segment_size=seg)
     return RVCConfig(version=version, train=train, data=data, model=model)

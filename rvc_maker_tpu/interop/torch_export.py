@@ -105,6 +105,14 @@ def synthesizer_state_dict(params, cfg: ModelConfig) -> "OrderedDict":
         _add(sd, f"{fp}.post", _linear_as_conv1x1(lp["post"]))
 
     dec = params["dec"]
+    if "mrfs" in dec:
+        _export_mrf_dec(sd, dec)
+        sd["emb_g.weight"] = _t(params["emb_g"]["w"])
+        return sd
+    if "upsample_conv_blocks" in dec:
+        _export_refinegan_dec(sd, dec)
+        sd["emb_g.weight"] = _t(params["emb_g"]["w"])
+        return sd
     _add(sd, "dec.conv_pre", _conv_to_torch(dec["conv_pre"]))
     if "source" in dec:
         # NSF decoder layout (use_f0 models)
@@ -139,6 +147,49 @@ def synthesizer_state_dict(params, cfg: ModelConfig) -> "OrderedDict":
         _add(sd, "dec.cond", _linear_as_conv1x1(dec["cond"]))
     sd["emb_g.weight"] = _t(params["emb_g"]["w"])
     return sd
+
+
+def _export_mrf_dec(sd, dec):
+    """MRF HiFi-GAN decoder -> reference mrf_hifigan.py module names."""
+    _add(sd, "dec.m_source.l_linear", _linear_to_torch(dec["source"]["l_linear"]))
+    _add(sd, "dec.conv_pre", _conv_to_torch(dec["conv_pre"], True))
+    for i, lp in enumerate(dec["ups"]):
+        _add(sd, f"dec.upsamples.{i}", _convt_to_torch(lp, True))
+    for i, lp in enumerate(dec["noise_convs"]):
+        _add(sd, f"dec.noise_convs.{i}", _conv_to_torch(lp))
+    for i, stage in enumerate(dec["mrfs"]):
+        for j, blk in enumerate(stage):
+            for l, layer in enumerate(blk["layers"]):
+                _add(sd, f"dec.mrfs.{i}.{j}.layers.{l}.conv1",
+                     _conv_to_torch(layer["conv1"], True))
+                _add(sd, f"dec.mrfs.{i}.{j}.layers.{l}.conv2",
+                     _conv_to_torch(layer["conv2"], True))
+    _add(sd, "dec.conv_post", _conv_to_torch(dec["conv_post"], True))
+    if "cond" in dec:
+        _add(sd, "dec.cond", _linear_as_conv1x1(dec["cond"]))
+
+
+def _export_refinegan_dec(sd, dec):
+    """RefineGAN decoder -> reference refinegan.py module names."""
+    sd["dec.m_source.merge.0.weight"] = np.transpose(
+        _t(dec["source"]["merge"]["w"]))
+    _add(sd, "dec.pre_conv", _conv_to_torch(dec["pre_conv"], True))
+    _add(sd, "dec.mel_conv", _conv_to_torch(dec["mel_conv"], True))
+    for i, lp in enumerate(dec["downsample_blocks"]):
+        _add(sd, f"dec.downsample_blocks.{i}", _conv_to_torch(lp, True))
+    for i, blk in enumerate(dec["upsample_conv_blocks"]):
+        bp = f"dec.upsample_conv_blocks.{i}"
+        _add(sd, f"{bp}.input_conv", _conv_to_torch(blk["input_conv"]))
+        for j, b2 in enumerate(blk["blocks"]):
+            sd[f"{bp}.blocks.{j}.0.weight"] = _t(b2["adain1"]["weight"])
+            sd[f"{bp}.blocks.{j}.2.weight"] = _t(b2["adain2"]["weight"])
+            for l, c in enumerate(b2["res"]["convs1"]):
+                _add(sd, f"{bp}.blocks.{j}.1.convs1.{l}", _conv_to_torch(c, True))
+            for l, c in enumerate(b2["res"]["convs2"]):
+                _add(sd, f"{bp}.blocks.{j}.1.convs2.{l}", _conv_to_torch(c, True))
+    _add(sd, "dec.conv_post", _conv_to_torch(dec["conv_post"], True))
+    if "cond" in dec:
+        _add(sd, "dec.cond", _linear_as_conv1x1(dec["cond"]))
 
 
 def export_synthesizer_pth(params, cfg: RVCConfig, path: str, *,

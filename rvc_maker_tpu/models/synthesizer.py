@@ -501,6 +501,48 @@ def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
     return o, x_mask, (z, z_p, m_p, logs_p)
 
 
+def _decode_train(dec: Params, cfg: ModelConfig, z_slice, pitchf_slice, g,
+                  rng):
+    """Training-time decode with vocoder dispatch and PRNG-driven noise
+    (reference Synthesizer.forward picks self.dec, synthesizers.py:419-
+    424; the alt vocoders draw their own noise via torch.randn)."""
+    b, seg = pitchf_slice.shape
+    voc = cfg.vocoder
+    if voc in ("MRF HiFi-GAN", "MRF-HiFi-GAN"):
+        from . import vocoders as voc_mod
+
+        k_src, k_ini = jax.random.split(rng)
+        noise = jax.random.normal(k_src, (b, seg * cfg.upp, 9),
+                                  z_slice.dtype)
+        rand_ini = jax.random.uniform(k_ini, (b, 9)).at[:, 0].set(0.0)
+        return voc_mod.mrf_hifigan(dec, cfg, z_slice, pitchf_slice, g,
+                                   noise, rand_ini)
+    if voc == "RefineGAN":
+        from . import vocoders as voc_mod
+
+        keys = jax.random.split(rng, 2 + 6 * len(cfg.upsample_rates))
+        noise = jax.random.normal(keys[0], (b, seg * cfg.upp, 1),
+                                  z_slice.dtype)
+        rand_ini = jax.random.uniform(keys[1], (b, 1)).at[:, 0].set(0.0)
+        adain_noises = []
+        ch = cfg.upsample_initial_channel
+        t_cur = seg
+        ki = iter(keys[2:])
+        for rate in cfg.upsample_rates:
+            ch = ch // 2
+            t_cur = t_cur * rate
+            stage = [(jax.random.normal(next(ki), (b, t_cur, ch),
+                                        z_slice.dtype),
+                      jax.random.normal(next(ki), (b, t_cur, ch),
+                                        z_slice.dtype))
+                     for _ in range(3)]
+            adain_noises.append(stage)
+        return voc_mod.refinegan(dec, cfg, z_slice, pitchf_slice, g, noise,
+                                 adain_noises, rand_ini)
+    sine_noise = jax.random.normal(rng, (b, seg * cfg.upp, 1), z_slice.dtype)
+    return generator_nsf(dec, cfg, z_slice, pitchf_slice, g, sine_noise)
+
+
 def train_forward(params: Params, cfg: ModelConfig, phone, phone_lengths,
                   pitch, pitchf, y, y_lengths, ds, rng):
     """Training path (reference synthesizers.py:434-443).
@@ -520,9 +562,8 @@ def train_forward(params: Params, cfg: ModelConfig, phone, phone_lengths,
     z_slice, ids_slice = rand_slice_segments(k_slice, z, y_lengths, seg)
     if cfg.use_f0:
         pitchf_slice = slice_segments(pitchf, ids_slice, seg)
-        sine_noise = jax.random.normal(k_sine, (z.shape[0], seg * cfg.upp, 1))
-        y_hat = generator_nsf(params["dec"], cfg, z_slice, pitchf_slice, g,
-                              sine_noise)
+        y_hat = _decode_train(params["dec"], cfg, z_slice, pitchf_slice, g,
+                              k_sine)
     else:
         y_hat = generator(params["dec"], cfg, z_slice, g)
     z_flowed = flow(params["flow"], z, y_mask, g, reverse=False)
@@ -622,6 +663,18 @@ def init_params(key, cfg: ModelConfig) -> Params:
         "proj": _linear_init(next(keys), h, 2 * inter),
     }
 
+    # dec — vocoder dispatch (reference synthesizers.py:419-424)
+    if cfg.use_f0 and cfg.vocoder in ("MRF HiFi-GAN", "MRF-HiFi-GAN"):
+        from .vocoders import mrf_init_params
+
+        dec_override = mrf_init_params(next(keys), cfg)
+    elif cfg.use_f0 and cfg.vocoder == "RefineGAN":
+        from .vocoders import refinegan_init_params
+
+        dec_override = refinegan_init_params(next(keys), cfg)
+    else:
+        dec_override = None
+
     # dec (NSF-HiFiGAN)
     uic = cfg.upsample_initial_channel
     channels = [uic // (2 ** (i + 1)) for i in range(len(cfg.upsample_rates))]
@@ -651,6 +704,8 @@ def init_params(key, cfg: ModelConfig) -> Params:
         # harmonic source path exists only on the NSF decoder
         dec["noise_convs"] = noise_convs
         dec["source"] = {"l_linear": _linear_init(next(keys), 1, 1)}
+    if dec_override is not None:
+        dec = dec_override
 
     return {
         "enc_p": enc_p,

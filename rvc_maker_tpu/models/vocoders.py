@@ -265,3 +265,93 @@ def refinegan_params_from_state_dict(sd, cfg: ModelConfig,
         p["upsample_conv_blocks"].append(
             {"input_conv": conv_from(sd, f"{bp}.input_conv"), "blocks": blocks})
     return p
+
+
+# ---------------------------------------------------------------------------
+# init (training alt-vocoder models from scratch)
+# ---------------------------------------------------------------------------
+
+def mrf_init_params(key, cfg: ModelConfig, *, harmonic_num: int = 8) -> Params:
+    """Random MRF HiFi-GAN decoder tree (reference mrf_hifigan.py:96-125;
+    weight-norm folded — we train plain kernels)."""
+    import jax
+
+    from .synthesizer import _linear_init, _normal_conv_init, _torch_conv_init
+
+    keys = iter(jax.random.split(key, 4096))
+    uic = cfg.upsample_initial_channel
+    n = len(cfg.upsample_rates)
+    p: dict = {
+        "source": {"l_linear": _linear_init(next(keys), harmonic_num + 1, 1)},
+        "conv_pre": _torch_conv_init(next(keys), 7, cfg.inter_channels, uic),
+        "cond": _linear_init(next(keys), cfg.gin_channels, uic),
+        "ups": [], "noise_convs": [], "mrfs": [],
+    }
+    stride_f0s = [math.prod(cfg.upsample_rates[i + 1:])
+                  if i + 1 < n else 1 for i in range(n)]
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                   cfg.upsample_kernel_sizes)):
+        cin, cout = uic // (2 ** i), uic // (2 ** (i + 1))
+        p["ups"].append({
+            "w": jax.random.normal(next(keys), (k, cin, cout)) * 0.01,
+            "b": jnp.zeros((cout,))})
+        stride = stride_f0s[i]
+        nk_noise = 1 if stride == 1 else stride * 2 - stride % 2
+        p["noise_convs"].append(_torch_conv_init(next(keys), nk_noise, 1, cout))
+        stage = []
+        for ks, ds in zip(cfg.resblock_kernel_sizes,
+                          cfg.resblock_dilation_sizes):
+            layers = [{"conv1": _normal_conv_init(next(keys), ks, cout, cout),
+                       "conv2": _normal_conv_init(next(keys), ks, cout, cout)}
+                      for _ in ds]
+            stage.append({"layers": layers})
+        p["mrfs"].append(stage)
+    p["conv_post"] = _torch_conv_init(next(keys), 7, uic // (2 ** n), 1)
+    return p
+
+
+def refinegan_init_params(key, cfg: ModelConfig) -> Params:
+    """Random RefineGAN decoder tree (reference refinegan.py:109-170)."""
+    import jax
+
+    from .synthesizer import _linear_init, _normal_conv_init, _torch_conv_init
+
+    keys = iter(jax.random.split(key, 4096))
+    uic = cfg.upsample_initial_channel
+    n = len(cfg.upsample_rates)
+    p: dict = {
+        "source": {"merge": {
+            "w": jax.random.normal(next(keys), (1, 1)) * 0.5}},
+        "pre_conv": _torch_conv_init(next(keys), 7, 1, uic // 2),
+        "mel_conv": _normal_conv_init(next(keys), 7, cfg.inter_channels,
+                                      uic // 2),
+        "cond": _linear_init(next(keys), cfg.gin_channels, uic // 2),
+        "downsample_blocks": [], "upsample_conv_blocks": [],
+    }
+    channels = uic
+    for i, rate in enumerate(cfg.upsample_rates):
+        stride = (math.prod(cfg.upsample_rates[i + 1:])
+                  if i + 1 < n else 1)
+        nk_noise = 1 if stride == 1 else stride * 2 - stride % 2
+        p["downsample_blocks"].append(
+            _torch_conv_init(next(keys), nk_noise, 1, uic // (2 ** (i + 2))))
+        new_channels = channels // 2
+        in_ch = channels + channels // 4
+        blocks = []
+        for ks in (3, 7, 11):
+            res = {"convs1": [], "convs2": []}
+            for _ in (1, 3, 5):
+                res["convs1"].append(
+                    _torch_conv_init(next(keys), ks, new_channels, new_channels))
+                res["convs2"].append(
+                    _torch_conv_init(next(keys), ks, new_channels, new_channels))
+            blocks.append({"adain1": {"weight": jnp.ones((new_channels,))},
+                           "res": res,
+                           "adain2": {"weight": jnp.ones((new_channels,))}})
+        p["upsample_conv_blocks"].append({
+            "input_conv": _normal_conv_init(next(keys), 7, in_ch, new_channels),
+            "blocks": blocks})
+        channels = new_channels
+    p["conv_post"] = {"w": jax.random.normal(next(keys),
+                                             (7, channels, 1)) * 0.01}
+    return p

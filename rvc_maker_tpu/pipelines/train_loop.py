@@ -73,12 +73,19 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
           batch_size: int = 8, save_every_epoch: int = 5,
           save_only_latest: bool = True, mesh=None,
           log_writer=None, pretrain_g: str = "",
-          pretrain_d: str = "") -> train_mod.TrainState:
+          pretrain_d: str = "", author: str = "",
+          model_name: str = "",
+          overtraining_detector: bool = True,
+          overtraining_threshold: int = 50,
+          save_every_weights: bool = True) -> train_mod.TrainState:
     """Run training from the experiment dir (expects filelist.txt).
 
     pretrain_g/pretrain_d: optional reference-format pretrained
     checkpoints used as initialization when no resume checkpoint exists
-    (reference train.py:778-794)."""
+    (reference train.py:778-794).  author/model_name embed in exported
+    inference weights; overtraining_* mirror train.py:900-953;
+    save_every_weights=False exports inference weights only at the end
+    (reference --save_every_weights)."""
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(np.prod([d for d in mesh.devices.shape]))
@@ -120,7 +127,7 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     state = replicate(state, mesh)
 
     step_fn = train_mod.make_sharded_train_step(cfg, mesh)
-    detector = OvertrainingDetector()
+    detector = OvertrainingDetector(threshold_g=overtraining_threshold)
 
     stop = {"now": False}
 
@@ -153,7 +160,7 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                     break
             state = train_mod.decay_lr(state, cfg)
             loss_g = float(np.asarray(metrics["loss_g"])) if n_batches else 0.0
-            if detector.update(loss_g):
+            if overtraining_detector and detector.update(loss_g):
                 logger.warning("overtraining detected at epoch %d", epoch)
             logger.info("epoch %d done (%d batches, %.1fs)", epoch, n_batches,
                         time.time() - t0)
@@ -161,9 +168,15 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                 save_checkpoint(state, latest)
                 if not save_only_latest:
                     save_checkpoint(state, os.path.join(exp_dir, f"ckpt_e{epoch}"))
-                export_inference_weights(
-                    state, cfg, os.path.join(exp_dir, f"weights_e{epoch}.pth"),
-                    epoch=epoch)
+                if save_every_weights or epoch == total_epochs or stop["now"]:
+                    name = model_name or os.path.basename(
+                        os.path.normpath(exp_dir))
+                    step_n = int(np.asarray(state.step))
+                    export_inference_weights(
+                        state, cfg,
+                        os.path.join(exp_dir,
+                                     f"{name}_{epoch}e_{step_n}s.pth"),
+                        epoch=epoch, author=author)
                 if tb is not None and n_batches:
                     _log_eval_sample(tb, state, cfg, batch,
                                      int(np.asarray(state.step)))

@@ -77,7 +77,9 @@ def test_train_loop_end_to_end(tmp_path, monkeypatch):
     step1 = int(np.asarray(state.step))
     assert step1 > 0
     assert os.path.isdir(os.path.join(exp, "ckpt_latest"))
-    weights = [f for f in os.listdir(exp) if f.startswith("weights_e")]
+    # reference-style name: {model_name}_{epoch}e_{step}s.pth
+    weights = [f for f in os.listdir(exp)
+               if f.endswith("s.pth") and "e_" in f]
     assert weights, os.listdir(exp)
 
     # the exported weights load back through the interchange loader
