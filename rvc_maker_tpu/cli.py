@@ -98,6 +98,17 @@ def cmd_train(args):
     _setup_logging(args.exp_dir, "train")
     cfg = preset(args.version, args.sample_rate, vocoder=args.vocoder,
                  pitch_guidance=args.pitch_guidance)
+    if not args.pretrain_g and not args.no_pretrained:
+        # reference downloads pretrained G/D before training
+        # (app.py:1310-1320); degrade to from-scratch offline
+        from .utils import bootstrap
+
+        try:
+            args.pretrain_g, args.pretrain_d = bootstrap.ensure_pretrained(
+                args.version, args.sample_rate, args.vocoder)
+        except Exception as e:  # noqa: BLE001
+            logging.warning("pretrained bootstrap failed (%s); "
+                            "training from scratch", e)
     train(args.exp_dir, cfg, total_epochs=args.epochs,
           batch_size=args.batch_size, save_every_epoch=args.save_every_epoch,
           save_only_latest=not args.save_all, pretrain_g=args.pretrain_g,
@@ -120,17 +131,43 @@ def _build_convert_pipeline(args):
     # .pth -> params pytree; .onnx -> OnnxVoiceModel (JAX ONNX executor)
     synth_params, cfg, meta = load_voice_model(args.model)
     version = meta.get("version", "v2")
+    from .utils import bootstrap
+
+    def _maybe_bootstrap(kind, fn):
+        """Reference-style lazy model download (check_predictors /
+        check_embedders); clear warning when offline."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — degrade, don't die
+            logging.warning("bootstrap %s failed: %s", kind, e)
+            return None
+
     if args.embedder_path:
         from .interop.onnx_embedder import load_embedder
 
         # fairseq .pt / transformers dir / .onnx (JAX ONNX executor)
         hubert_params = load_embedder(args.embedder_path)
     else:
-        import jax
-        logging.warning("no --embedder-path: random HuBERT weights (debug only)")
-        hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
+        fetched = _maybe_bootstrap(
+            "embedder", lambda: bootstrap.ensure_embedder("contentvec_base"))
+        if fetched:
+            from .interop.onnx_embedder import load_embedder
+
+            hubert_params = load_embedder(fetched)
+        else:
+            import jax
+            logging.warning(
+                "no --embedder-path: random HuBERT weights (debug only)")
+            hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
     rmvpe_params = None
     method = args.f0_method
+    if "rmvpe" in method and not args.rmvpe_path:
+        got = _maybe_bootstrap(
+            "rmvpe", lambda: bootstrap.ensure_predictor(method).get(
+                "rmvpe") or bootstrap.ensure_predictor(method).get(
+                "rmvpe-legacy"))
+        if got:
+            args.rmvpe_path = got
     if "rmvpe" in method and args.rmvpe_path:
         from .models.rmvpe import load_rmvpe_pt
         rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
@@ -138,11 +175,23 @@ def _build_convert_pipeline(args):
         logging.warning("no --rmvpe-path: falling back to yin f0")
         method = "yin"
     fcpe_params = None
+    if "fcpe" in method and not args.fcpe_path:
+        got = _maybe_bootstrap(
+            "fcpe", lambda: next(iter(
+                bootstrap.ensure_predictor(method).values()), None))
+        if got:
+            args.fcpe_path = got
     if "fcpe" in method and args.fcpe_path:
         from .models.fcpe import load_fcpe_ckpt
         fcpe_params = load_fcpe_ckpt(args.fcpe_path,
                                      legacy="legacy" in method)
     crepe_params = None
+    if "crepe" in method and not args.crepe_path:
+        got = _maybe_bootstrap(
+            "crepe", lambda: next(iter(
+                bootstrap.ensure_predictor(method).values()), None))
+        if got:
+            args.crepe_path = got
     if "crepe" in method and args.crepe_path:
         from .models.crepe import load_crepe_pth
         capacity = method.split("-")[-1]
@@ -480,6 +529,8 @@ def build_parser():
     st.add_argument("--overtraining-threshold", type=int, default=50)
     st.add_argument("--no-save-every-weights", action="store_true",
                     help="export inference weights only at the end")
+    st.add_argument("--no-pretrained", action="store_true",
+                    help="skip the pretrained G/D bootstrap download")
     st.set_defaults(func=cmd_train)
 
     sc = sub.add_parser("convert")
