@@ -82,6 +82,9 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Embedder (.pt)</label><input id="t_emb" size="40"><br>
  <label>Epochs</label><input id="t_epochs" type="number" value="100">
  <label>Batch size</label><input id="t_bs" type="number" value="8"><br>
+ <label>Vocoder</label><select id="t_voc"><option selected>Default</option>
+   <option>MRF HiFi-GAN</option><option>RefineGAN</option></select>
+ <label>Pitch guidance</label><input id="t_f0" type="checkbox" checked><br>
  <button onclick="job('preprocess')">1. Preprocess</button>
  <button onclick="job('extract')">2. Extract</button>
  <button onclick="job('train')">3. Train</button>
@@ -231,7 +234,9 @@ async function job(kind){
     version: document.getElementById('t_ver').value,
     embedder: document.getElementById('t_emb').value,
     epochs: +document.getElementById('t_epochs').value,
-    batch_size: +document.getElementById('t_bs').value});
+    batch_size: +document.getElementById('t_bs').value,
+    vocoder: document.getElementById('t_voc').value,
+    pitch_guidance: document.getElementById('t_f0').checked});
   lastJob = r.job_id;
   document.getElementById('t_out').innerText = JSON.stringify(r, null, 2);
 }
@@ -858,7 +863,10 @@ def _start_job(req: dict) -> dict:
                 from ..pipelines.train_loop import train
 
                 cfg = preset(req.get("version", "v2"),
-                             int(req.get("sr", 32000)))
+                             int(req.get("sr", 32000)),
+                             vocoder=req.get("vocoder", "Default"),
+                             pitch_guidance=bool(
+                                 req.get("pitch_guidance", True)))
                 train(exp_dir, cfg, total_epochs=int(req.get("epochs", 100)),
                       batch_size=int(req.get("batch_size", 8)),
                       pretrain_g=req.get("pretrain_g", ""),
