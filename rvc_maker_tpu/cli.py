@@ -161,43 +161,68 @@ def _build_convert_pipeline(args):
             hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
     rmvpe_params = None
     method = args.f0_method
+    # --f0-onnx: bootstrap the .onnx predictor variants
+    # (reference check_predictors appends "-onnx", library/utils.py:25)
+    suffix = "-onnx" if getattr(args, "f0_onnx", False) else ""
+
+    def _boot_method():
+        return "+".join(m + suffix for m in bootstrap.methods_of(method)) \
+            if "hybrid" not in method else \
+            "hybrid[" + "+".join(m + suffix for m in
+                                 bootstrap.methods_of(method)) + "]"
+
     if "rmvpe" in method and not args.rmvpe_path:
         got = _maybe_bootstrap(
-            "rmvpe", lambda: bootstrap.ensure_predictor(method).get(
-                "rmvpe") or bootstrap.ensure_predictor(method).get(
-                "rmvpe-legacy"))
+            "rmvpe", lambda: next(
+                (v for k, v in bootstrap.ensure_predictor(
+                    _boot_method()).items() if "rmvpe" in k), None))
         if got:
             args.rmvpe_path = got
     if "rmvpe" in method and args.rmvpe_path:
-        from .models.rmvpe import load_rmvpe_pt
-        rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
+        if args.rmvpe_path.endswith(".onnx"):
+            # --f0_onnx route: graph runs on the JAX ONNX executor
+            from .interop.onnx_run import OnnxGraph
+            rmvpe_params = OnnxGraph(args.rmvpe_path)
+        else:
+            from .models.rmvpe import load_rmvpe_pt
+            rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
     elif method == "rmvpe":
         logging.warning("no --rmvpe-path: falling back to yin f0")
         method = "yin"
     fcpe_params = None
     if "fcpe" in method and not args.fcpe_path:
         got = _maybe_bootstrap(
-            "fcpe", lambda: next(iter(
-                bootstrap.ensure_predictor(method).values()), None))
+            "fcpe", lambda: next(
+                (v for k, v in bootstrap.ensure_predictor(
+                    _boot_method()).items() if "fcpe" in k), None))
         if got:
             args.fcpe_path = got
     if "fcpe" in method and args.fcpe_path:
-        from .models.fcpe import load_fcpe_ckpt
-        fcpe_params = load_fcpe_ckpt(args.fcpe_path,
-                                     legacy="legacy" in method)
+        if args.fcpe_path.endswith(".onnx"):
+            from .interop.onnx_run import OnnxGraph
+            fcpe_params = OnnxGraph(args.fcpe_path)
+        else:
+            from .models.fcpe import load_fcpe_ckpt
+            fcpe_params = load_fcpe_ckpt(args.fcpe_path,
+                                         legacy="legacy" in method)
     crepe_params = None
     if "crepe" in method and not args.crepe_path:
         got = _maybe_bootstrap(
-            "crepe", lambda: next(iter(
-                bootstrap.ensure_predictor(method).values()), None))
+            "crepe", lambda: next(
+                (v for k, v in bootstrap.ensure_predictor(
+                    _boot_method()).items() if "crepe" in k), None))
         if got:
             args.crepe_path = got
     if "crepe" in method and args.crepe_path:
-        from .models.crepe import load_crepe_pth
-        capacity = method.split("-")[-1]
-        if capacity not in ("tiny", "small", "medium", "large", "full"):
-            capacity = "full"
-        crepe_params = load_crepe_pth(args.crepe_path, capacity)
+        if args.crepe_path.endswith(".onnx"):
+            from .interop.onnx_run import OnnxGraph
+            crepe_params = OnnxGraph(args.crepe_path)
+        else:
+            from .models.crepe import load_crepe_pth
+            capacity = method.split("-")[-1]
+            if capacity not in ("tiny", "small", "medium", "large", "full"):
+                capacity = "full"
+            crepe_params = load_crepe_pth(args.crepe_path, capacity)
     index_vectors = None
     if args.index and args.index_rate > 0:
         index_vectors = load_index(args.index).vectors
@@ -567,6 +592,10 @@ def build_parser():
     sc.add_argument("--split-audio", action="store_true")
     sc.add_argument("--export-format", default="wav",
                     help="wav | flac (native) | mp3/ogg/m4a (ffmpeg)")
+    sc.add_argument("--f0-onnx", action="store_true",
+                    help="use .onnx F0 predictors (run on the JAX ONNX "
+                         "executor); also honored when --rmvpe-path/"
+                         "--fcpe-path/--crepe-path point at .onnx files")
     sc.set_defaults(func=cmd_convert)
 
     ss = sub.add_parser("separate")

@@ -356,6 +356,49 @@ def _dot_general(b, eqn, ins):
     return [b.add("Reshape", [y, b.const(np.asarray(out_shape, np.int64))])]
 
 
+@_prim("reduce_window_sum")
+def _reduce_window_sum(b, eqn, ins):
+    """Sum pooling (jax.lax.reduce_window with add) -> AveragePool *
+    window_count.  Window axes are transposed to the trailing positions
+    and the leading ones collapse into (N, 1)."""
+    p = eqn.params
+    wd = list(p["window_dimensions"])
+    ws = list(p["window_strides"])
+    pad = [list(x) for x in p["padding"]]
+    rank = len(wd)
+    if any(d != 1 for d in (p.get("base_dilation") or [1] * rank)):
+        raise NotImplementedError("reduce_window_sum base_dilation")
+    if any(d != 1 for d in (p.get("window_dilation") or [1] * rank)):
+        raise NotImplementedError("reduce_window_sum window_dilation")
+
+    in_shape = list(eqn.invars[0].aval.shape)
+    out_shape = list(eqn.outvars[0].aval.shape)
+    spatial = [i for i in range(rank)
+               if wd[i] != 1 or ws[i] != 1 or pad[i] != [0, 0]]
+    if not spatial:
+        return [b.add("Identity", ins)]
+    batch = [i for i in range(rank) if i not in spatial]
+    perm = batch + spatial
+    x = b.add("Transpose", ins, perm=perm)
+    n = int(np.prod([in_shape[i] for i in batch])) if batch else 1
+    pool_in = [n, 1] + [in_shape[i] for i in spatial]
+    x = b.add("Reshape", [x, b.const(np.asarray(pool_in, np.int64))])
+    y = b.add("AveragePool", [x],
+              kernel_shape=[wd[i] for i in spatial],
+              strides=[ws[i] for i in spatial],
+              pads=[pad[i][0] for i in spatial]
+                   + [pad[i][1] for i in spatial],
+              count_include_pad=1)
+    scale = float(np.prod([wd[i] for i in spatial]))
+    y = b.add("Mul", [y, b.const(np.asarray(
+        scale, np.dtype(eqn.outvars[0].aval.dtype)))])
+    mid = ([out_shape[i] for i in batch]
+           + [out_shape[i] for i in spatial])
+    y = b.add("Reshape", [y, b.const(np.asarray(mid, np.int64))])
+    inv = np.argsort(perm).tolist()
+    return [b.add("Transpose", [y], perm=inv)]
+
+
 @_prim("conv_general_dilated")
 def _conv(b, eqn, ins):
     p = eqn.params
@@ -493,8 +536,7 @@ def _scan(b, eqn, ins):
     """lax.scan lowered by static unrolling (stacked-layer loops become
     repeated blocks, exactly like a torch-exported model)."""
     p = eqn.params
-    if p.get("reverse"):
-        raise NotImplementedError("reverse scan")
+    reverse = bool(p.get("reverse"))
     length = int(p["length"])
     n_consts = int(p["num_consts"])
     n_carry = int(p["num_carry"])
@@ -505,7 +547,11 @@ def _scan(b, eqn, ins):
     xs_avals = [v.aval for v in eqn.invars[n_consts + n_carry:]]
     n_ys = len(eqn.outvars) - n_carry
     ys_parts = [[] for _ in range(n_ys)]
-    for i in range(length):
+    # reverse scan (e.g. the backward GRU direction): consume xs from the
+    # end; ys stay stacked in input order, so the parts list is reversed
+    # before Concat
+    order = range(length - 1, -1, -1) if reverse else range(length)
+    for i in order:
         x_slices = []
         for xname, aval in zip(xs, xs_avals):
             nd = len(aval.shape)
@@ -522,6 +568,8 @@ def _scan(b, eqn, ins):
             aval = eqn.outvars[n_carry + j].aval
             ys_parts[j].append(b.add("Reshape", [y, b.const(
                 np.asarray((1,) + aval.shape[1:], np.int64))]))
+    if reverse:
+        ys_parts = [parts[::-1] for parts in ys_parts]
     ys = [parts[0] if length == 1 else b.add("Concat", parts, axis=0)
           for parts in ys_parts]
     return carry + ys

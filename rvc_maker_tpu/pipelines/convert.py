@@ -144,8 +144,11 @@ class ConvertPipeline:
         self.rmvpe_params = _prep(rmvpe_params)
         self.fcpe_params = _prep(fcpe_params)
         # crepe decodes on host (Viterbi); params stay fp32 for parity
-        self.crepe_params = (jax.device_put(crepe_params)
-                             if crepe_params is not None else None)
+        # (.onnx predictor graphs pass through — reference --f0_onnx)
+        self.crepe_params = (crepe_params
+                             if crepe_params is None
+                             or hasattr(crepe_params, "input_names")
+                             else jax.device_put(crepe_params))
         self.index_vectors = (_prep(jnp.asarray(index_vectors))
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
@@ -161,7 +164,37 @@ class ConvertPipeline:
     def _stage_f0(self, f0_method: str):
         key = ("f0", f0_method)
         if key not in self._step_cache:
-            if f0_method in ("rmvpe", "rmvpe-legacy"):
+            if (f0_method in ("rmvpe", "rmvpe-legacy")
+                    and hasattr(self.rmvpe_params, "input_names")):
+                # .onnx rmvpe through the JAX ONNX executor
+                # (reference --f0_onnx, RMVPE.py:214)
+                from ..f0.onnx_predictor import rmvpe_onnx_infer
+
+                graph = self.rmvpe_params
+                kw = ({"f0_min": 50.0, "f0_max": 1100.0}
+                      if f0_method == "rmvpe-legacy" else {})
+
+                def f0_fn(_rmvpe_params, audio, pitch_shift,
+                          autotune_strength):
+                    f0 = rmvpe_onnx_infer(graph, audio, **kw)
+                    f0 = shift_f0(f0, pitch_shift)
+                    return jnp.where(autotune_strength > 0,
+                                     autotune_f0(f0, autotune_strength), f0)
+            elif (f0_method in ("fcpe", "fcpe-legacy")
+                    and hasattr(self.fcpe_params, "input_names")):
+                from ..f0.onnx_predictor import fcpe_onnx_infer
+
+                graph = self.fcpe_params
+
+                def f0_fn(_rmvpe_params, audio, pitch_shift,
+                          autotune_strength):
+                    p_len = audio.shape[1] // WINDOW + 1
+                    f0 = fcpe_onnx_infer(graph, audio, threshold=0.03,
+                                         p_len=p_len)
+                    f0 = shift_f0(f0, pitch_shift)
+                    return jnp.where(autotune_strength > 0,
+                                     autotune_f0(f0, autotune_strength), f0)
+            elif f0_method in ("rmvpe", "rmvpe-legacy"):
                 mb_size = self.rmvpe_microbatch
                 # legacy: band-reject outside [50, 1100] Hz (reference
                 # RMVPE.py:228-234 infer_from_audio_with_pitch)
@@ -347,24 +380,32 @@ class ConvertPipeline:
                     from ..models import crepe as crepe_mod
                     if self.crepe_params is None:
                         raise ValueError("crepe_params not loaded")
+                    def _probs(audio_b1, hop):
+                        if hasattr(self.crepe_params, "input_names"):
+                            # .onnx crepe (reference --f0_onnx, CREPE.py:95)
+                            frames = crepe_mod.frame_audio(audio_b1, hop)[0]
+                            out = self.crepe_params.run(
+                                {self.crepe_params.input_names[0]:
+                                 jnp.asarray(frames, jnp.float32)})[0]
+                            return jnp.asarray(out)[None]
+                        return crepe_mod.predict_probs(
+                            self.crepe_params, audio_b1, hop_length=hop)
+
                     if m.startswith("mangio"):
                         # reference convert.py:215-228 (mangio): quantile
                         # normalize, custom hop, viterbi, NaN-gate
                         x = audio_batch[i].astype(np.float32)
                         x = x / np.quantile(np.abs(x), 0.999)
-                        probs = crepe_mod.predict_probs(
-                            self.crepe_params, jnp.asarray(x[None]),
-                            hop_length=settings.hop_length)
+                        probs = _probs(jnp.asarray(x[None]),
+                                       settings.hop_length)
                         f0 = crepe_mod.decode(np.asarray(probs), 50.0,
                                               1100.0)[0]
                         f0 = np.where(f0 < 0.001, np.nan, f0)
                     else:
                         # reference convert.py:230-237: hop=window,
                         # mean(f0,3)/median(pd,3), gate pd < 0.1
-                        probs = crepe_mod.predict_probs(
-                            self.crepe_params,
-                            jnp.asarray(audio_batch[i : i + 1]),
-                            hop_length=WINDOW)
+                        probs = _probs(jnp.asarray(audio_batch[i : i + 1]),
+                                       WINDOW)
                         f0, pd = crepe_mod.decode(np.asarray(probs), 50.0,
                                                   1100.0,
                                                   return_periodicity=True)

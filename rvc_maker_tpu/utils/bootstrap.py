@@ -32,6 +32,14 @@ PREDICTOR_FILES = {
 for _cap in ("full", "large", "medium", "small", "tiny"):
     PREDICTOR_FILES[f"crepe-{_cap}"] = f"crepe_{_cap}.pth"
     PREDICTOR_FILES[f"mangio-crepe-{_cap}"] = f"crepe_{_cap}.pth"
+# --f0_onnx variants (library/utils.py:24-29): same graphs, .onnx files
+PREDICTOR_FILES.update({
+    "rmvpe-onnx": "rmvpe.onnx", "rmvpe-legacy-onnx": "rmvpe.onnx",
+    "fcpe-onnx": "fcpe.onnx", "fcpe-legacy-onnx": "fcpe_legacy.onnx",
+})
+for _cap in ("full", "large", "medium", "small", "tiny"):
+    PREDICTOR_FILES[f"crepe-{_cap}-onnx"] = f"crepe_{_cap}.onnx"
+    PREDICTOR_FILES[f"mangio-crepe-{_cap}-onnx"] = f"crepe_{_cap}.onnx"
 
 EMBEDDER_NAMES = ("contentvec_base", "hubert_base", "japanese_hubert_base",
                   "korean_hubert_base", "chinese_hubert_base", "spin")
