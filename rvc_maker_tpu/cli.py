@@ -345,6 +345,24 @@ def cmd_separate(args):
              if args.output_instrumental else ""))
 
 
+def cmd_separate_music(args):
+    from .pipelines.separate_music import SeparationSettings, separate_music
+
+    _setup_logging(None)
+    s = SeparationSettings(
+        model_name=args.model_name, kara_model=args.kara_model,
+        reverb_model=args.reverb_model, backing=args.backing,
+        reverb=args.reverb, backing_reverb=args.backing_reverb,
+        clean_audio=args.clean_audio, clean_strength=args.clean_strength,
+        shifts=args.shifts, sample_rate=args.sample_rate,
+        export_format=args.export_format, mdx_denoise=args.mdx_denoise,
+        mdx_overlap=args.mdx_overlap, mdx_hop=args.mdx_hop,
+        mdx_n_fft=args.mdx_n_fft)
+    written = separate_music(args.input, args.output, s)
+    for stem, path in written.items():
+        print(f"separate-music: {stem} -> {path}")
+
+
 def cmd_create_dataset(args):
     from .pipelines.create_dataset import create_dataset
 
@@ -613,6 +631,31 @@ def build_parser():
     ss.add_argument("--mdx-overlap", type=float, default=0.25)
     ss.add_argument("--mdx-denoise", action="store_true")
     ss.set_defaults(func=cmd_separate)
+
+    sm = sub.add_parser("separate-music",
+                        help="full stem chain: separation + karaoke "
+                             "split + dereverb (reference "
+                             "separator_music.py)")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", default="./audios")
+    sm.add_argument("--model-name", default="HT-Normal",
+                    help="registry name (HT-Normal, Kim_Vocal_1, ...) "
+                         "or a model path (.th/.yaml/.onnx)")
+    sm.add_argument("--kara-model", default="Version-1")
+    sm.add_argument("--reverb-model", default="Reverb_HQ")
+    sm.add_argument("--backing", action="store_true")
+    sm.add_argument("--reverb", action="store_true")
+    sm.add_argument("--backing-reverb", action="store_true")
+    sm.add_argument("--clean-audio", action="store_true")
+    sm.add_argument("--clean-strength", type=float, default=0.7)
+    sm.add_argument("--shifts", type=int, default=2)
+    sm.add_argument("--sample-rate", type=int, default=44100)
+    sm.add_argument("--export-format", default="wav")
+    sm.add_argument("--mdx-denoise", action="store_true")
+    sm.add_argument("--mdx-overlap", type=float, default=0.25)
+    sm.add_argument("--mdx-hop", type=int, default=1024)
+    sm.add_argument("--mdx-n-fft", type=int, default=6144)
+    sm.set_defaults(func=cmd_separate_music)
 
     sd = sub.add_parser("create-dataset")
     sd.add_argument("inputs", nargs="+", help="audio paths or URLs")

@@ -116,11 +116,15 @@ def reduce_noise(y: np.ndarray, sr: int, *, stationary: bool = False,
         lo = max(start - padding, 0)
         hi = min(end + padding, n)
         buf[:, lo - (start - padding) : lo - (start - padding) + (hi - lo)] = x[:, lo:hi]
+        # jnp.convolve(mode="same") returns kernel-sized output when the
+        # kernel outgrows the signal — clamp the moving-mean window to
+        # the chunk's frame count (short clips at high sample rates)
+        n_frames = buf.shape[1] // hop + 1
         seg = _gate(jnp.asarray(buf),
                     None if xn is None else jnp.asarray(xn),
                     sr=sr, stationary=stationary,
                     prop_decrease=float(prop_decrease),
-                    n_movemean=n_movemean, n_fft=n_fft,
+                    n_movemean=min(n_movemean, n_frames), n_fft=n_fft,
                     win_length=n_fft, hop_length=hop)
         out[:, start:end] = np.asarray(seg)[:, padding : padding + (end - start)]
     return out[0] if flat else out
