@@ -116,7 +116,8 @@ def cmd_train(args):
           model_name=args.model_name,
           overtraining_detector=not args.no_overtraining_detector,
           overtraining_threshold=args.overtraining_threshold,
-          save_every_weights=not args.no_save_every_weights)
+          save_every_weights=not args.no_save_every_weights,
+          cache_data=args.cache_data, cleanup=args.cleanup)
     print("train: done")
 
 
@@ -574,6 +575,12 @@ def build_parser():
                     help="export inference weights only at the end")
     st.add_argument("--no-pretrained", action="store_true",
                     help="skip the pretrained G/D bootstrap download")
+    st.add_argument("--cache-data", action="store_true",
+                    help="cache decoded training items in RAM "
+                         "(reference --cache_data_in_gpu analog)")
+    st.add_argument("--cleanup", action="store_true",
+                    help="wipe old checkpoints/logs before training "
+                         "(reference --cleanup)")
     st.set_defaults(func=cmd_train)
 
     sc = sub.add_parser("convert")

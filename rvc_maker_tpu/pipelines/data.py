@@ -32,11 +32,16 @@ BUCKET_BOUNDARIES = (100, 200, 300, 400, 500, 600, 700, 800, 900)
 
 
 class TrainingDataset:
-    def __init__(self, filelist_path: str, cfg: RVCConfig):
+    def __init__(self, filelist_path: str, cfg: RVCConfig,
+                 cache_in_memory: bool = False):
+        """cache_in_memory: keep decoded items in RAM after first load —
+        the reference's cache_data_in_gpu analog (train.py:824; host RAM
+        here, device arrays are per-batch)."""
         self.cfg = cfg
         with open(filelist_path) as f:
             self.rows = [line.strip().split("|") for line in f if line.strip()]
         self.emb_dim = cfg.model.text_enc_hidden_dim
+        self._cache: dict | None = {} if cache_in_memory else None
 
     def __len__(self):
         return len(self.rows)
@@ -56,6 +61,14 @@ class TrainingDataset:
         return spec
 
     def load_item(self, i: int):
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        item = self._load_item(i)
+        if self._cache is not None:
+            self._cache[i] = item
+        return item
+
+    def _load_item(self, i: int):
         wav_path, feat_path, f0_path, f0nsf_path, sid = self.rows[i]
         audio, sr = read_wav(wav_path)
         if sr != self.cfg.data.sample_rate:

@@ -77,7 +77,9 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
           model_name: str = "",
           overtraining_detector: bool = True,
           overtraining_threshold: int = 50,
-          save_every_weights: bool = True) -> train_mod.TrainState:
+          save_every_weights: bool = True,
+          cache_data: bool = False,
+          cleanup: bool = False) -> train_mod.TrainState:
     """Run training from the experiment dir (expects filelist.txt).
 
     pretrain_g/pretrain_d: optional reference-format pretrained
@@ -90,7 +92,19 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         mesh = data_mesh()
     n_dev = int(np.prod([d for d in mesh.devices.shape]))
 
-    dataset = data_mod.TrainingDataset(os.path.join(exp_dir, "filelist.txt"), cfg)
+    if cleanup:
+        # reference --cleanup (train.py:190-203): wipe old run artifacts
+        import shutil
+
+        for name in ("ckpt_latest", "tb"):
+            shutil.rmtree(os.path.join(exp_dir, name), ignore_errors=True)
+        for f in os.listdir(exp_dir) if os.path.isdir(exp_dir) else []:
+            if f.startswith("ckpt_e") or f.endswith("s.pth"):
+                path = os.path.join(exp_dir, f)
+                (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+
+    dataset = data_mod.TrainingDataset(os.path.join(exp_dir, "filelist.txt"),
+                                       cfg, cache_in_memory=cache_data)
     logger.info("dataset: %d rows; mesh: %s devices", len(dataset), n_dev)
 
     tb = None
