@@ -148,11 +148,13 @@ def write_mute_fixture(exp_dir: str, cfg: RVCConfig, hubert_params,
              np.zeros(sr * 3, np.float32), sr, subtype="float32")
     save_wav(os.path.join(mute_dir, "sliced_audios_16k", "mute.wav"),
              np.zeros(n16, np.float32), SR16K, subtype="float32")
-    p_len = n16 // WINDOW
+    # the reference's shipped artifact has L//160 + 1 frames (RMVPE frame
+    # convention) — match it exactly (golden test vs assets/logs/mute)
+    p_len = n16 // WINDOW + 1
     np.save(os.path.join(mute_dir, "f0", "mute.wav.npy"),
             np.ones(p_len, np.int32), allow_pickle=False)
     np.save(os.path.join(mute_dir, "f0_voiced", "mute.wav.npy"),
-            np.zeros(p_len, np.float32), allow_pickle=False)
+            np.zeros(p_len, np.float64), allow_pickle=False)
     import jax.numpy as jnp
     feats, fl = hubert_mod.extract_features(
         hubert_params, jnp.zeros((1, n16)),
