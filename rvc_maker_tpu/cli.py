@@ -60,14 +60,30 @@ def cmd_extract(args):
 
     rmvpe_params = None
     method = args.f0_method
-    if method == "rmvpe":
+    if method.startswith("rmvpe"):
         if args.rmvpe_path:
             from .models.rmvpe import load_rmvpe_pt
             rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
         else:
             logging.warning("no --rmvpe-path: falling back to yin f0")
             method = "yin"
-    ex.extract_f0(args.exp_dir, method=method, rmvpe_params=rmvpe_params)
+    crepe_params = None
+    if "crepe" in method and args.crepe_path:
+        from .models.crepe import load_crepe_pth
+
+        capacity = method.split("-")[-1]
+        if capacity not in ("tiny", "small", "medium", "large", "full"):
+            capacity = "full"
+        crepe_params = load_crepe_pth(args.crepe_path, capacity)
+    fcpe_params = None
+    if "fcpe" in method and args.fcpe_path:
+        from .models.fcpe import load_fcpe_ckpt
+
+        fcpe_params = load_fcpe_ckpt(args.fcpe_path,
+                                     legacy="legacy" in method)
+    ex.extract_f0(args.exp_dir, method=method, rmvpe_params=rmvpe_params,
+                  crepe_params=crepe_params, fcpe_params=fcpe_params,
+                  hop_length=args.hop_length)
     ex.extract_embeddings(args.exp_dir, hubert_params, version=args.version)
     ex.write_mute_fixture(args.exp_dir, cfg, hubert_params, args.version)
     ex.generate_filelist(args.exp_dir, cfg, args.version)
@@ -542,9 +558,15 @@ def build_parser():
     se.add_argument("--exp-dir", required=True)
     se.add_argument("--version", default="v2", choices=["v1", "v2"])
     se.add_argument("--sample-rate", type=int, default=48000)
-    se.add_argument("--f0-method", default="rmvpe")
+    se.add_argument("--f0-method", default="rmvpe",
+                    help="rmvpe | yin | pm | dio | harvest | swipe | pyin "
+                         "| crepe-* | mangio-crepe-* | fcpe[-legacy] | "
+                         "hybrid[a+b]")
     se.add_argument("--embedder-path", default="")
     se.add_argument("--rmvpe-path", default="")
+    se.add_argument("--crepe-path", default="")
+    se.add_argument("--fcpe-path", default="")
+    se.add_argument("--hop-length", type=int, default=160)
     se.set_defaults(func=cmd_extract)
 
     si = sub.add_parser("index")

@@ -46,8 +46,91 @@ def _batched(items, batch_size):
         yield items[i : i + batch_size]
 
 
+def _host_f0_single(audio: np.ndarray, method: str, *,
+                    crepe_params=None, fcpe_params=None,
+                    hop_length: int = 160) -> np.ndarray:
+    """One utterance, one method -> f0 Hz resampled to L//WINDOW + 1.
+
+    Mirrors the convert-side dispatcher; the reference keeps this same
+    registry duplicated between convert.py:304-323 and
+    extract.py:149-151, and so do we (extract has no ConvertPipeline)."""
+    import re as _re
+
+    m = _re.search(r"hybrid\[(.+)\]", method)
+    if m:
+        parts = [s.strip() for s in m.group(1).split("+")]
+        stack = []
+        for part in parts:
+            f0 = _host_f0_single(audio, part, crepe_params=crepe_params,
+                                 fcpe_params=fcpe_params,
+                                 hop_length=hop_length)
+            stack.append(np.where(f0 < 0.001, np.nan, f0))
+        return np.nan_to_num(np.nanmedian(np.vstack(stack), axis=0))
+
+    import jax.numpy as jnp
+
+    if method in ("dio", "harvest"):
+        from .. import native
+
+        f0, t = native.dio(audio.astype(np.float64), SR16K)
+        if method == "harvest":
+            f0 = native.stonemask(audio.astype(np.float64), SR16K, t, f0)
+    elif method == "swipe":
+        from ..f0.swipe import swipe as swipe_fn
+
+        f0, _ = swipe_fn(audio, SR16K, f0_floor=50.0, f0_ceil=1100.0)
+    elif method == "pm":
+        from ..f0.praat_ac import praat_ac
+
+        f0 = praat_ac(audio, SR16K, f0_floor=50.0, f0_ceil=1100.0,
+                      voicing_threshold=0.6)
+    elif method == "pyin":
+        from ..f0.pyin import pyin as pyin_fn
+
+        f0 = pyin_fn(audio, SR16K, fmin=50.0, fmax=1100.0,
+                     hop_length=hop_length)[0]
+        f0 = np.nan_to_num(np.where(f0 < 0.001, np.nan, f0))
+    elif method.startswith(("crepe", "mangio-crepe")):
+        from ..models import crepe as crepe_mod
+
+        if crepe_params is None:
+            raise ValueError("crepe method needs crepe_params")
+        if method.startswith("mangio"):
+            x = audio / np.quantile(np.abs(audio) + 1e-9, 0.999)
+            probs = crepe_mod.predict_probs(crepe_params,
+                                            jnp.asarray(x[None]),
+                                            hop_length=hop_length)
+            f0 = crepe_mod.decode(np.asarray(probs), 50.0, 1100.0)[0]
+            f0 = np.nan_to_num(np.where(f0 < 0.001, np.nan, f0))
+        else:
+            probs = crepe_mod.predict_probs(crepe_params,
+                                            jnp.asarray(audio[None]),
+                                            hop_length=WINDOW)
+            f0, pd = crepe_mod.decode(np.asarray(probs), 50.0, 1100.0,
+                                      return_periodicity=True)
+            f0 = crepe_mod.mean_filter(f0, 3)
+            pd = crepe_mod.median_filter(pd, 3)
+            f0[pd < 0.1] = 0.0
+            f0 = f0[0]
+    elif method in ("fcpe", "fcpe-legacy"):
+        from ..models import fcpe as fcpe_mod
+
+        if fcpe_params is None:
+            raise ValueError("fcpe method needs fcpe_params")
+        f0 = np.asarray(fcpe_mod.infer(fcpe_params, jnp.asarray(audio[None]),
+                                       threshold=0.03))[0]
+    else:
+        raise ValueError(f"unknown f0 method {method!r}")
+
+    f0 = np.asarray(f0, np.float64).ravel()
+    p_len = len(audio) // WINDOW + 1
+    return np.interp(np.linspace(0, len(f0) - 1, p_len),
+                     np.arange(len(f0)), f0)
+
+
 def extract_f0(exp_dir: str, *, method: str = "rmvpe", rmvpe_params=None,
-               batch_size: int = 8) -> int:
+               crepe_params=None, fcpe_params=None,
+               hop_length: int = 160, batch_size: int = 8) -> int:
     """Stage A. Returns number of segments processed."""
     import jax.numpy as jnp
 
@@ -74,10 +157,21 @@ def extract_f0(exp_dir: str, *, method: str = "rmvpe", rmvpe_params=None,
             batch = np.zeros((len(chunk), L), np.float32)
             for i, n in enumerate(chunk):
                 batch[i, : len(audios[n])] = audios[n]
-            if method == "rmvpe":
-                f0 = rmvpe_mod.infer(rmvpe_params, jnp.asarray(batch))
-            else:
+            if method in ("rmvpe", "rmvpe-legacy"):
+                kw = ({"f0_min": 50.0, "f0_max": 1100.0}
+                      if method == "rmvpe-legacy" else {})
+                f0 = rmvpe_mod.infer(rmvpe_params, jnp.asarray(batch), **kw)
+            elif method == "yin":
                 f0 = yin(jnp.asarray(batch), sr=SR16K, hop_length=WINDOW)
+            else:
+                # host-side methods, one utterance at a time (reference
+                # FeatureInput.compute_f0, extract.py:149-151)
+                f0 = np.stack([
+                    _host_f0_single(batch[i], method,
+                                    crepe_params=crepe_params,
+                                    fcpe_params=fcpe_params,
+                                    hop_length=hop_length)
+                    for i in range(len(chunk))])
             coarse = np.asarray(coarse_f0(f0))
             f0 = np.asarray(f0)
             for i, n in enumerate(chunk):

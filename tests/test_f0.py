@@ -57,3 +57,35 @@ def test_yin_batch_shapes():
     f0 = yin(jnp.asarray(audio), sr=16000, hop_length=160)
     assert f0.shape[0] == 3
     assert f0.shape[1] >= 99
+
+
+def test_extract_host_f0_methods(tmp_path):
+    """extract_f0 supports the full method registry (reference
+    FeatureInput.compute_f0, extract.py:149-151) — host methods + hybrid
+    on a synthetic tone end to end."""
+    import os
+
+    from rvc_maker_tpu.pipelines.extract import _host_f0_single, extract_f0
+    from rvc_maker_tpu.utils.audio import save_wav
+
+    sr = 16000
+    t = np.arange(int(1.2 * sr)) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    for method in ("pm", "swipe", "pyin", "hybrid[pm+swipe]"):
+        f0 = _host_f0_single(tone, method)
+        assert len(f0) == len(tone) // 160 + 1, method
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 20, method
+        assert abs(np.median(voiced) - 220.0) < 15.0, method
+
+    exp = str(tmp_path)
+    wav_dir = os.path.join(exp, "sliced_audios_16k")
+    os.makedirs(wav_dir)
+    save_wav(os.path.join(wav_dir, "a.wav"), tone, sr)
+    n = extract_f0(exp, method="pm")
+    assert n == 1
+    coarse = np.load(os.path.join(exp, "f0", "a.wav.npy"))
+    hz = np.load(os.path.join(exp, "f0_voiced", "a.wav.npy"))
+    assert coarse.dtype == np.int32 and coarse.max() > 1
+    assert abs(np.median(hz[hz > 0]) - 220.0) < 15.0
