@@ -429,6 +429,18 @@ def _get_pipeline(model: str, index: str, rmvpe: str, embedder: str):
     return pipe
 
 
+def _get_batcher(pipe):
+    with _LOCK:
+        if _STATE.get("batcher_pipe") is not pipe:
+            if _STATE.get("batcher") is not None:
+                _STATE["batcher"].close()
+            from .batcher import ConvertBatcher
+
+            _STATE["batcher"] = ConvertBatcher(pipe)
+            _STATE["batcher_pipe"] = pipe
+        return _STATE["batcher"]
+
+
 class Handler(BaseHTTPRequestHandler):
     def _json(self, obj, code=200):
         body = json.dumps(obj).encode()
@@ -528,7 +540,14 @@ class Handler(BaseHTTPRequestHandler):
             index_rate=float(req.get("index_rate", 0.5)),
             protect=float(req.get("protect", 0.33)),
             f0_method=f0_method)
-        out = pipe.convert_utterance(audio16, int(req.get("sid", 0)), settings)
+        if os.environ.get("RVC_TPU_BATCH_SERVE") == "1":
+            # concurrent requests ride one device batch (app/batcher.py)
+            out = _get_batcher(pipe).convert(audio16,
+                                             int(req.get("sid", 0)),
+                                             settings)
+        else:
+            out = pipe.convert_utterance(audio16, int(req.get("sid", 0)),
+                                         settings)
         self._json({"audio_b64": _audio_to_wav_b64(out, pipe.cfg.sr),
                     "sr": pipe.cfg.sr})
 
