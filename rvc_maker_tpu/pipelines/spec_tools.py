@@ -1,95 +1,221 @@
-"""Separation spectral utilities (reference uvr5_separator/spec_utils.py).
+"""Separation spectral utilities — full equivalent of the reference
+uvr5_separator/spec_utils.py (899 lines, 66 functions).
 
-The reference's 899-line grab-bag serves mostly the ONNX/VR
-architectures; these are the pieces its active demucs/MDX separation
-flow actually calls (common_separator.py / separator drivers):
-normalize, reshape_sources/to_shape, reduce_vocal_aggressively,
-invert_audio / invert_stem (spectral secondary-stem inversion).
+The active demucs/MDX separation flow calls only a handful of these
+(normalize, reshape_sources/to_shape, reduce_vocal_aggressively,
+invert_audio / invert_stem); the rest serve the UVR ensembling /
+alignment / multi-band (VR "model parameters") tooling, ported here so
+the full spec_utils surface exists in this framework too.
 
-STFT runs through ops.stft (librosa semantics: centered hann, constant
-padding, n_fft 2048 / hop 1024) on whatever backend jax targets.
+Differences from the reference (deliberate, host-side only):
+  * librosa.stft/istft  -> our own numpy STFT with identical semantics
+    (centered, constant pad, periodic hann, 50% overlap normalization).
+  * librosa.resample    -> polyphase kaiser resampler (utils/audio.py),
+    rational-approximated for fractional ratios.
+  * rubberband binary (time_stretch/pitch_shift, spec_utils.py:859-899)
+    -> our phase-vocoder implementations (no external process).
+  * soundfile          -> scipy.io.wavfile via utils/audio.save_wav.
+
+Reference: main/library/uvr5_separator/spec_utils.py (line numbers cited
+per function).
 """
 
 from __future__ import annotations
 
+import io
+import logging
+import math
+from fractions import Fraction
+
 import numpy as np
+from scipy.signal import correlate, hilbert, resample_poly
 
-import jax.numpy as jnp
+from ..utils.audio import read_wav as _read_wav_file
+from ..utils.audio import save_wav as _save_wav
 
-from ..ops.stft import hann_window
+logger = logging.getLogger(__name__)
 
 N_FFT = 2048
 HOP = 1024
 
+AUTO_PHASE = "Automatic"
+POSITIVE_PHASE = "Positive Phase"
+NEGATIVE_PHASE = "Negative Phase"
+NONE_P = ("None",)
+MAX_SPEC = "Max Spec"
+MIN_SPEC = "Min Spec"
+LIN_ENSE = "Linear Ensemble"
+MAX_WAV = MAX_SPEC
+MIN_WAV = MIN_SPEC
+AVERAGE = "Average"
 
-def _stft(wave: np.ndarray) -> np.ndarray:
+
+# ---------------------------------------------------------------- STFT core
+
+
+def _hann(n: int) -> np.ndarray:
+    # periodic hann — matches librosa's get_window("hann", n, fftbins=True)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def _stft_np(wave: np.ndarray, n_fft: int = N_FFT,
+             hop: int = HOP) -> np.ndarray:
     """librosa.stft semantics (center=True, constant pad).
-    wave: (C, L) -> complex (C, F, T)."""
-    x = jnp.asarray(wave, jnp.float32)
-    pad = N_FFT // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)))
-    n_frames = 1 + (x.shape[-1] - N_FFT) // HOP
-    idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    frames = x[:, idx] * jnp.asarray(hann_window(N_FFT))
-    z = jnp.fft.rfft(frames, axis=-1)
-    return np.asarray(z.transpose(0, 2, 1))
+    (L,) -> (F, T) or (C, L) -> (C, F, T), complex64."""
+    x = np.asarray(wave, np.float32)
+    mono = x.ndim == 1
+    if mono:
+        x = x[None]
+    pad = n_fft // 2
+    x = np.pad(x, ((0, 0), (pad, pad)))
+    n_frames = 1 + (x.shape[-1] - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[:, idx] * _hann(n_fft).astype(np.float32)
+    z = np.fft.rfft(frames, axis=-1).astype(np.complex64)
+    z = z.transpose(0, 2, 1)
+    return z[0] if mono else z
 
 
-def _istft(spec: np.ndarray, length: int | None = None) -> np.ndarray:
-    """librosa.istft semantics. spec: (C, F, T) -> (C, L)."""
-    z = jnp.asarray(spec).transpose(0, 2, 1)          # (C, T, F)
-    win = jnp.asarray(hann_window(N_FFT))
-    t = jnp.fft.irfft(z, n=N_FFT, axis=-1) * win
+def _istft_np(spec: np.ndarray, hop: int = HOP,
+              length: int | None = None) -> np.ndarray:
+    """librosa.istft semantics (centered, squared-window normalization).
+    (F, T) -> (L,) or (C, F, T) -> (C, L), float32."""
+    z = np.asarray(spec)
+    mono = z.ndim == 2
+    if mono:
+        z = z[None]
+    n_fft = 2 * (z.shape[1] - 1)
+    win = _hann(n_fft)
+    t = np.fft.irfft(z.transpose(0, 2, 1), n=n_fft, axis=-1) * win
     frames = t.shape[1]
-    total = (frames - 1) * HOP + N_FFT
-    idx = jnp.arange(frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    y = jnp.zeros((t.shape[0], total), t.dtype).at[:, idx].add(t)
-    norm = jnp.zeros((total,), win.dtype).at[idx].add(jnp.square(win))
-    y = y / jnp.maximum(norm, 1e-11)
-    pad = N_FFT // 2
+    total = (frames - 1) * hop + n_fft
+    idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    y = np.zeros((t.shape[0], total), np.float64)
+    np.add.at(y, (slice(None), idx), t)
+    norm = np.zeros((total,), np.float64)
+    np.add.at(norm, idx.reshape(-1), np.tile(win ** 2, (frames, 1)).reshape(-1))
+    y = y / np.maximum(norm, 1e-11)
+    pad = n_fft // 2
     y = y[:, pad:-pad]
     if length is not None:
         y = y[:, :length]
-    return np.asarray(y)
+    y = y.astype(np.float32)
+    return y[0] if mono else y
 
 
-def wave_to_spectrogram(wave: np.ndarray) -> np.ndarray:
-    """(C, L) or (L,) -> (C, F, T) complex (spec_utils.py:381-385)."""
-    wave = np.asarray(wave)
-    if wave.ndim == 1:
-        wave = np.stack([wave, wave])
-    return _stft(wave)
+def _resample(x: np.ndarray, orig_sr: float, target_sr: float) -> np.ndarray:
+    """Polyphase resample along the LAST axis, fractional ratios via
+    rational approximation (stand-in for librosa.resample/soxr)."""
+    if orig_sr == target_sr:
+        return np.asarray(x, np.float32)
+    frac = Fraction(float(target_sr) / float(orig_sr)).limit_denominator(1000)
+    up, down = frac.numerator, frac.denominator
+    out = resample_poly(np.asarray(x, np.float64), up, down,
+                        axis=-1, window=("kaiser", 12.0))
+    return out.astype(np.float32)
 
 
-def spectrogram_to_wave(spec: np.ndarray,
-                        length: int | None = None) -> np.ndarray:
-    if spec.ndim == 2:
-        spec = np.stack([spec, spec])
-    return _istft(spec, length)
+def _param(mp):
+    """Accept a ModelParameters-like object (``.param`` dict) or a bare
+    dict for the multi-band ``mp`` argument."""
+    return mp.param if hasattr(mp, "param") else mp
+
+
+class ModelParameters:
+    """Minimal stand-in for UVR's VR ``ModelParameters``: wraps the
+    per-band parameter dict the multi-band functions read
+    (``bins``, ``band`` -> {n_fft, hl, sr, crop_start/stop, lpf/hpf_*,
+    convert_channels}, ``pre_filter_start/stop``, ``reverse``,
+    ``mid_side``, ``mid_side_b2``)."""
+
+    DEFAULTS = {"reverse": False, "mid_side": False, "mid_side_b2": False,
+                "pre_filter_start": 0, "pre_filter_stop": 0}
+
+    def __init__(self, param: dict):
+        merged = dict(self.DEFAULTS)
+        merged.update(param)
+        # JSON keys arrive as strings; band indices are 1-based ints
+        band = merged.get("band", {})
+        merged["band"] = {int(k): v for k, v in band.items()}
+        self.param = merged
+
+
+# ------------------------------------------------------- small pure helpers
+
+
+def crop_center(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Center-crop h1's time axis (axis 3) to h2's (spec_utils.py:45-55)."""
+    if h1.shape[3] == h2.shape[3]:
+        return h1
+    if h1.shape[3] < h2.shape[3]:
+        raise ValueError("h1_shape[3] > h2_shape[3]")
+    s_time = (h1.shape[3] - h2.shape[3]) // 2
+    return h1[:, :, :, s_time:s_time + h2.shape[3]]
+
+
+def preprocess(X_spec: np.ndarray):
+    """(spec_utils.py:57-58)."""
+    return np.abs(X_spec), np.angle(X_spec)
+
+
+def make_padding(width: int, cropsize: int, offset: int):
+    """(spec_utils.py:60-64)."""
+    roi_size = cropsize - offset * 2
+    if roi_size == 0:
+        roi_size = cropsize
+    return offset, roi_size - (width % roi_size) + offset, roi_size
 
 
 def normalize(wave: np.ndarray, max_peak: float = 1.0) -> np.ndarray:
-    """Peak-limit in place semantics (spec_utils.py:66-70)."""
+    """Peak-limit (spec_utils.py:66-70)."""
     maxv = np.abs(wave).max()
     if maxv > max_peak:
         wave = wave * (max_peak / maxv)
     return wave
 
 
-def to_shape(x: np.ndarray, target_shape) -> np.ndarray:
-    pads = [(0, t - s) for s, t in zip(x.shape, target_shape)]
-    return np.pad(x, tuple(pads), mode="constant")
+def auto_transpose(audio_array: np.ndarray) -> np.ndarray:
+    """(T, 2) -> (2, T) (spec_utils.py:72-74)."""
+    if audio_array.shape[1] == 2:
+        return audio_array.T
+    return audio_array
 
 
-def reshape_sources(wav_1: np.ndarray, wav_2: np.ndarray) -> np.ndarray:
-    """Match wav_2 to wav_1's shape (spec_utils.py:585-593)."""
-    if wav_1.shape > wav_2.shape:
-        wav_2 = to_shape(wav_2, wav_1.shape)
-    if wav_1.shape < wav_2.shape:
-        ln = min(wav_1.shape[1], wav_2.shape[1])
-        wav_2 = wav_2[:, :ln]
-    ln = min(wav_1.shape[1], wav_2.shape[1])
-    return wav_2[:, :ln]
+def write_array_to_mem(audio_data, subtype: str = "PCM_16"):
+    """WAV bytes in memory at 44100 Hz (spec_utils.py:76-85); soundfile
+    subtypes map onto our scipy writer (FLOAT -> float32, else PCM16)."""
+    if not isinstance(audio_data, np.ndarray):
+        return audio_data
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    if "FLOAT" in subtype.upper():
+        wavfile.write(buf, 44100, np.asarray(audio_data, np.float32))
+    else:
+        clipped = np.clip(np.asarray(audio_data, np.float64), -1.0, 1.0)
+        wavfile.write(buf, 44100, (clipped * 32767.0).astype(np.int16))
+    buf.seek(0)
+    return buf
+
+
+def spectrogram_to_image(spec: np.ndarray, mode: str = "magnitude"):
+    """uint8 image of a (C, F, T) or (F, T) spectrogram
+    (spec_utils.py:87-99)."""
+    if mode == "magnitude":
+        y = np.log10((np.abs(spec) if np.iscomplexobj(spec) else spec) ** 2
+                     + 1e-8)
+    elif mode == "phase":
+        y = np.angle(spec) if np.iscomplexobj(spec) else spec
+    else:
+        raise ValueError(mode)
+    y = y - y.min()
+    y = y * (255 / y.max())
+    img = np.uint8(y)
+    if y.ndim == 3:
+        img = img.transpose(1, 2, 0)
+        img = np.concatenate([np.max(img, axis=2, keepdims=True), img],
+                             axis=2)
+    return img
 
 
 def reduce_vocal_aggressively(X: np.ndarray, y: np.ndarray,
@@ -102,7 +228,412 @@ def reduce_vocal_aggressively(X: np.ndarray, y: np.ndarray,
             * np.exp(1.0j * np.angle(y)))
 
 
-def invert_audio(specs: list[np.ndarray], invert_p: bool = True) -> np.ndarray:
+def merge_artifacts(y_mask: np.ndarray, thres: float = 0.01,
+                    min_range: int = 64, fade_size: int = 32) -> np.ndarray:
+    """Fade mask gaps between detected artifact regions
+    (spec_utils.py:107-143).  On any error the input mask is returned
+    unchanged, like the reference's blanket except."""
+    mask = y_mask
+    try:
+        if min_range < fade_size * 2:
+            raise ValueError("min_range >= fade_size * 2")
+        idx = np.where(y_mask.min(axis=(0, 1)) > thres)[0]
+        start_idx = np.insert(idx[np.where(np.diff(idx) != 1)[0] + 1], 0,
+                              idx[0])
+        end_idx = np.append(idx[np.where(np.diff(idx) != 1)[0]], idx[-1])
+        artifact_idx = np.where(end_idx - start_idx > min_range)[0]
+        weight = np.zeros_like(y_mask)
+        if len(artifact_idx) > 0:
+            start_idx = start_idx[artifact_idx]
+            end_idx = end_idx[artifact_idx]
+            old_e = None
+            for s, e in zip(start_idx, end_idx):
+                if old_e is not None and s - old_e < fade_size:
+                    s = old_e - fade_size * 2
+                if s != 0:
+                    weight[:, :, s:s + fade_size] = np.linspace(0, 1,
+                                                                fade_size)
+                else:
+                    s -= fade_size
+                if e != y_mask.shape[2]:
+                    weight[:, :, e - fade_size:e] = np.linspace(1, 0,
+                                                                fade_size)
+                else:
+                    e += fade_size
+                weight[:, :, s + fade_size:e - fade_size] = 1
+                old_e = e
+        v_mask = 1 - y_mask
+        y_mask = y_mask + weight * v_mask
+        mask = y_mask
+    except Exception as exc:  # reference swallows all errors here
+        logger.warning("merge_artifacts failed: %s", exc)
+    return mask
+
+
+def align_wave_head_and_tail(a: np.ndarray, b: np.ndarray):
+    """(spec_utils.py:145-147).  NB: replicates the reference exactly,
+    including its double-axis slice ``a[:l, :l]`` (a quirk — it crops
+    the channel axis too when l < n_channels, which never happens for
+    real audio)."""
+    l = min([a[0].size, b[0].size])
+    return a[:l, :l], b[:l, :l]
+
+
+# -------------------------------------------------- multi-band (VR) helpers
+
+
+def convert_channels(spec: np.ndarray, mp, band: int) -> np.ndarray:
+    """Per-band stereo encode (spec_utils.py:149-163)."""
+    cc = _param(mp)["band"][band].get("convert_channels")
+    if cc == "mid_side_c":
+        spec_left = np.add(spec[0], spec[1] * 0.25)
+        spec_right = np.subtract(spec[1], spec[0] * 0.25)
+    elif cc == "mid_side":
+        spec_left = np.add(spec[0], spec[1]) / 2
+        spec_right = np.subtract(spec[0], spec[1])
+    elif cc == "stereo_n":
+        spec_left = np.add(spec[0], spec[1] * 0.25) / 0.9375
+        spec_right = np.add(spec[1], spec[0] * 0.25) / 0.9375
+    else:
+        return spec
+    return np.asfortranarray([spec_left, spec_right])
+
+
+def combine_spectrograms(specs: dict, mp,
+                         is_v51_model: bool = False) -> np.ndarray:
+    """Stack per-band crops into the model's bin layout + pre-filter
+    (spec_utils.py:165-191)."""
+    p = _param(mp)
+    l = min([specs[i].shape[2] for i in specs])
+    spec_c = np.zeros(shape=(2, p["bins"] + 1, l), dtype=np.complex64)
+    offset = 0
+    bands_n = len(p["band"])
+    for d in range(1, bands_n + 1):
+        h = p["band"][d]["crop_stop"] - p["band"][d]["crop_start"]
+        spec_c[:, offset:offset + h, :l] = \
+            specs[d][:, p["band"][d]["crop_start"]:p["band"][d]["crop_stop"],
+                     :l]
+        offset += h
+    if offset > p["bins"]:
+        raise ValueError("offset > mp.param['bins']")
+    if p["pre_filter_start"] > 0:
+        if is_v51_model:
+            spec_c *= get_lp_filter_mask(spec_c.shape[1],
+                                         p["pre_filter_start"],
+                                         p["pre_filter_stop"])
+        elif bands_n == 1:
+            spec_c = fft_lp_filter(spec_c, p["pre_filter_start"],
+                                   p["pre_filter_stop"])
+        else:
+            gp = 1
+            for b in range(p["pre_filter_start"] + 1, p["pre_filter_stop"]):
+                g = math.pow(10, -(b - p["pre_filter_start"])
+                             * (3.5 - gp) / 20.0)
+                gp = g
+                spec_c[:, b, :] *= g
+    return np.asfortranarray(spec_c)
+
+
+def wave_to_spectrogram(wave: np.ndarray, hop_length: int = HOP,
+                        n_fft: int = N_FFT, mp=None, band: int = 0,
+                        is_v51_model: bool = False) -> np.ndarray:
+    """Stereo STFT with the mp channel encodes (spec_utils.py:193-219).
+    With ``mp=None`` this is the plain no-mp transform
+    (wave_to_spectrogram_no_mp semantics, :381-385)."""
+    wave = np.asarray(wave)
+    if wave.ndim == 1:
+        wave = np.asfortranarray([wave, wave])
+    if mp is not None and not is_v51_model:
+        p = _param(mp)
+        if p["reverse"]:
+            wave_left = np.flip(np.asfortranarray(wave[0]))
+            wave_right = np.flip(np.asfortranarray(wave[1]))
+        elif p["mid_side"]:
+            wave_left = np.asfortranarray(np.add(wave[0], wave[1]) / 2)
+            wave_right = np.asfortranarray(np.subtract(wave[0], wave[1]))
+        elif p["mid_side_b2"]:
+            wave_left = np.asfortranarray(np.add(wave[1], wave[0] * 0.5))
+            wave_right = np.asfortranarray(np.subtract(wave[0],
+                                                       wave[1] * 0.5))
+        else:
+            wave_left = np.asfortranarray(wave[0])
+            wave_right = np.asfortranarray(wave[1])
+    else:
+        wave_left = np.asfortranarray(wave[0])
+        wave_right = np.asfortranarray(wave[1])
+    spec = np.asfortranarray([_stft_np(wave_left, n_fft, hop_length),
+                              _stft_np(wave_right, n_fft, hop_length)])
+    if is_v51_model and mp is not None:
+        spec = convert_channels(spec, mp, band)
+    return spec
+
+
+def spectrogram_to_wave(spec: np.ndarray, hop_length: int = HOP, mp=None,
+                        band: int = 0, is_v51_model: bool = True,
+                        length: int | None = None) -> np.ndarray:
+    """Inverse of wave_to_spectrogram incl. channel decodes
+    (spec_utils.py:221-239).  ``mp=None`` -> plain iSTFT."""
+    spec = np.asarray(spec)
+    if spec.ndim == 2:
+        spec = np.stack([spec, spec])
+    wave_left = _istft_np(np.ascontiguousarray(spec[0]), hop_length, length)
+    wave_right = _istft_np(np.ascontiguousarray(spec[1]), hop_length, length)
+    if mp is None:
+        return np.asfortranarray([wave_left, wave_right])
+    p = _param(mp)
+    if is_v51_model:
+        cc = p["band"][band].get("convert_channels")
+        if cc == "mid_side_c":
+            return np.asfortranarray(
+                [np.subtract(wave_left / 1.0625, wave_right / 4.25),
+                 np.add(wave_right / 1.0625, wave_left / 4.25)])
+        if cc == "mid_side":
+            return np.asfortranarray([np.add(wave_left, wave_right / 2),
+                                      np.subtract(wave_left, wave_right / 2)])
+        if cc == "stereo_n":
+            return np.asfortranarray(
+                [np.subtract(wave_left, wave_right * 0.25),
+                 np.subtract(wave_right, wave_left * 0.25)])
+    else:
+        if p["reverse"]:
+            return np.asfortranarray([np.flip(wave_left),
+                                      np.flip(wave_right)])
+        if p["mid_side"]:
+            return np.asfortranarray([np.add(wave_left, wave_right / 2),
+                                      np.subtract(wave_left, wave_right / 2)])
+        if p["mid_side_b2"]:
+            return np.asfortranarray(
+                [np.add(wave_right / 1.25, 0.4 * wave_left),
+                 np.subtract(wave_left / 1.25, 0.4 * wave_right)])
+    return np.asfortranarray([wave_left, wave_right])
+
+
+def cmb_spectrogram_to_wave(spec_m: np.ndarray, mp, extra_bins_h=None,
+                            extra_bins=None,
+                            is_v51_model: bool = False) -> np.ndarray:
+    """Multi-band combined spectrogram -> wave, resampling the running
+    mix up band by band (spec_utils.py:241-287)."""
+    p = _param(mp)
+    bands_n = len(p["band"])
+    offset = 0
+    wave = None
+    for d in range(1, bands_n + 1):
+        bp = p["band"][d]
+        spec_s = np.zeros(shape=(2, bp["n_fft"] // 2 + 1, spec_m.shape[2]),
+                          dtype=complex)
+        h = bp["crop_stop"] - bp["crop_start"]
+        spec_s[:, bp["crop_start"]:bp["crop_stop"], :] = \
+            spec_m[:, offset:offset + h, :]
+        offset += h
+        if d == bands_n:
+            if extra_bins_h:
+                max_bin = bp["n_fft"] // 2
+                spec_s[:, max_bin - extra_bins_h:max_bin, :] = \
+                    extra_bins[:, :extra_bins_h, :]
+            if bp["hpf_start"] > 0:
+                if is_v51_model:
+                    spec_s *= get_hp_filter_mask(spec_s.shape[1],
+                                                 bp["hpf_start"],
+                                                 bp["hpf_stop"] - 1)
+                else:
+                    spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
+                                           bp["hpf_stop"] - 1)
+            band_wave = spectrogram_to_wave(spec_s, bp["hl"], mp, d,
+                                            is_v51_model)
+            wave = band_wave if bands_n == 1 else np.add(wave, band_wave)
+        else:
+            sr = p["band"][d + 1]["sr"]
+            if d == 1:
+                if is_v51_model:
+                    spec_s *= get_lp_filter_mask(spec_s.shape[1],
+                                                 bp["lpf_start"],
+                                                 bp["lpf_stop"])
+                else:
+                    spec_s = fft_lp_filter(spec_s, bp["lpf_start"],
+                                           bp["lpf_stop"])
+                wave = _resample(spectrogram_to_wave(spec_s, bp["hl"], mp, d,
+                                                     is_v51_model),
+                                 bp["sr"], sr)
+            else:
+                if is_v51_model:
+                    spec_s *= get_hp_filter_mask(spec_s.shape[1],
+                                                 bp["hpf_start"],
+                                                 bp["hpf_stop"] - 1)
+                    spec_s *= get_lp_filter_mask(spec_s.shape[1],
+                                                 bp["lpf_start"],
+                                                 bp["lpf_stop"])
+                else:
+                    spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
+                                           bp["hpf_stop"] - 1)
+                    spec_s = fft_lp_filter(spec_s, bp["lpf_start"],
+                                           bp["lpf_stop"])
+                wave = _resample(np.add(wave, spectrogram_to_wave(
+                    spec_s, bp["hl"], mp, d, is_v51_model)), bp["sr"], sr)
+    return wave
+
+
+def get_lp_filter_mask(n_bins: int, bin_start: int,
+                       bin_stop: int) -> np.ndarray:
+    """(spec_utils.py:289-290)."""
+    return np.concatenate([
+        np.ones((bin_start - 1, 1)),
+        np.linspace(1, 0, bin_stop - bin_start + 1)[:, None],
+        np.zeros((n_bins - bin_stop, 1)),
+    ], axis=0)
+
+
+def get_hp_filter_mask(n_bins: int, bin_start: int,
+                       bin_stop: int) -> np.ndarray:
+    """(spec_utils.py:292-293)."""
+    return np.concatenate([
+        np.zeros((bin_stop + 1, 1)),
+        np.linspace(0, 1, 1 + bin_start - bin_stop)[:, None],
+        np.ones((n_bins - bin_start - 2, 1)),
+    ], axis=0)
+
+
+def fft_lp_filter(spec: np.ndarray, bin_start: int,
+                  bin_stop: int) -> np.ndarray:
+    """Linear low-pass roll-off; mutates ``spec`` like the reference
+    (spec_utils.py:295-303)."""
+    g = 1.0
+    for b in range(bin_start, bin_stop):
+        g -= 1 / (bin_stop - bin_start)
+        spec[:, b, :] = g * spec[:, b, :]
+    spec[:, bin_stop:, :] *= 0
+    return spec
+
+
+def fft_hp_filter(spec: np.ndarray, bin_start: int,
+                  bin_stop: int) -> np.ndarray:
+    """Linear high-pass roll-off; mutates ``spec``
+    (spec_utils.py:305-313)."""
+    g = 1.0
+    for b in range(bin_start, bin_stop, -1):
+        g -= 1 / (bin_start - bin_stop)
+        spec[:, b, :] = g * spec[:, b, :]
+    spec[:, 0:bin_stop + 1, :] *= 0
+    return spec
+
+
+def spectrogram_to_wave_old(spec: np.ndarray,
+                            hop_length: int = 1024) -> np.ndarray:
+    """(spec_utils.py:315-319)."""
+    if spec.ndim == 2:
+        return _istft_np(spec, hop_length)
+    return np.asfortranarray([_istft_np(np.asfortranarray(spec[0]),
+                                        hop_length),
+                              _istft_np(np.asfortranarray(spec[1]),
+                                        hop_length)])
+
+
+def wave_to_spectrogram_old(wave: np.ndarray, hop_length: int,
+                            n_fft: int) -> np.ndarray:
+    """(spec_utils.py:321-322)."""
+    return np.asfortranarray([
+        _stft_np(np.asfortranarray(wave[0]), n_fft, hop_length),
+        _stft_np(np.asfortranarray(wave[1]), n_fft, hop_length)])
+
+
+def mirroring(a: str, spec_m: np.ndarray, input_high_end: np.ndarray,
+              mp) -> np.ndarray:
+    """High-end reconstruction by mirroring the bins just below the
+    pre-filter cut (spec_utils.py:324-333)."""
+    p = _param(mp)
+    if a == "mirroring":
+        mirror = np.flip(
+            np.abs(spec_m[:, p["pre_filter_start"] - 10
+                          - input_high_end.shape[1]:
+                          p["pre_filter_start"] - 10, :]), 1) \
+            * np.exp(1.0j * np.angle(input_high_end))
+        return np.where(np.abs(input_high_end) <= np.abs(mirror),
+                        input_high_end, mirror)
+    if a == "mirroring2":
+        mi = np.multiply(
+            np.flip(np.abs(spec_m[:, p["pre_filter_start"] - 10
+                                  - input_high_end.shape[1]:
+                                  p["pre_filter_start"] - 10, :]), 1),
+            input_high_end * 1.7)
+        return np.where(np.abs(input_high_end) <= np.abs(mi),
+                        input_high_end, mi)
+    return input_high_end
+
+
+def adjust_aggr(mask: np.ndarray, is_non_accom_stem: bool,
+                aggressiveness: dict) -> np.ndarray:
+    """Exponent-shape the mask per channel / bin-split
+    (spec_utils.py:335-354)."""
+    aggr = aggressiveness["value"] * 2
+    if aggr != 0:
+        if is_non_accom_stem:
+            aggr = 1 - aggr
+        aggr = [aggr, aggr]
+        if aggressiveness["aggr_correction"] is not None:
+            aggr[0] += aggressiveness["aggr_correction"]["left"]
+            aggr[1] += aggressiveness["aggr_correction"]["right"]
+        for ch in range(2):
+            mask[ch, :aggressiveness["split_bin"]] = np.power(
+                mask[ch, :aggressiveness["split_bin"]], 1 + aggr[ch] / 3)
+            mask[ch, aggressiveness["split_bin"]:] = np.power(
+                mask[ch, aggressiveness["split_bin"]:], 1 + aggr[ch])
+    return mask
+
+
+def stft(wave: np.ndarray, nfft: int, hl: int) -> np.ndarray:
+    """Stereo STFT pair (spec_utils.py:356-357)."""
+    return np.asfortranarray([
+        _stft_np(np.asfortranarray(wave[0]), nfft, hl),
+        _stft_np(np.asfortranarray(wave[1]), nfft, hl)])
+
+
+def istft(spec: np.ndarray, hl: int) -> np.ndarray:
+    """Stereo iSTFT pair (spec_utils.py:359-360)."""
+    return np.asfortranarray([
+        _istft_np(np.asfortranarray(spec[0]), hl),
+        _istft_np(np.asfortranarray(spec[1]), hl)])
+
+
+def spec_effects(wave, algorithm: str = "Default", value=None):
+    """Two-source spectral combine (spec_utils.py:362-373)."""
+    wave = [np.asarray(wave[0]), np.asarray(wave[1])]
+    if any(np.isnan(w).any() or np.isinf(w).any() for w in wave):
+        logger.warning("non-finite values in spec_effects input: %s",
+                       [w.shape for w in wave])
+    spec = [stft(wave[0], 2048, 1024), stft(wave[1], 2048, 1024)]
+    if algorithm == "Min_Mag":
+        return istft(np.where(np.abs(spec[1]) <= np.abs(spec[0]), spec[1],
+                              spec[0]), 1024)
+    if algorithm == "Max_Mag":
+        return istft(np.where(np.abs(spec[1]) >= np.abs(spec[0]), spec[1],
+                              spec[0]), 1024)
+    if algorithm == "Default":
+        return (wave[1] * value) + (wave[0] * (1 - value))
+    if algorithm == "Invert_p":
+        X_mag, y_mag = np.abs(spec[0]), np.abs(spec[1])
+        return istft(spec[1] - np.where(X_mag >= y_mag, X_mag, y_mag)
+                     * np.exp(1.0j * np.angle(spec[0])), 1024)
+    raise ValueError(algorithm)
+
+
+def spectrogram_to_wave_no_mp(spec: np.ndarray, n_fft: int = N_FFT,
+                              hop_length: int = HOP,
+                              length: int | None = None) -> np.ndarray:
+    """(spec_utils.py:375-379)."""
+    wave = _istft_np(spec, hop_length, length)
+    if wave.ndim == 1:
+        wave = np.asfortranarray([wave, wave])
+    return wave
+
+
+def wave_to_spectrogram_no_mp(wave: np.ndarray) -> np.ndarray:
+    """(spec_utils.py:381-385)."""
+    spec = _stft_np(wave, N_FFT, HOP)
+    if spec.ndim == 1:
+        spec = np.asfortranarray([spec, spec])
+    return spec
+
+
+def invert_audio(specs: list, invert_p: bool = True) -> np.ndarray:
     """Spectral inversion of a stem against the mixture
     (spec_utils.py:387-399)."""
     ln = min(specs[0].shape[2], specs[1].shape[2])
@@ -118,6 +649,624 @@ def invert_audio(specs: list[np.ndarray], invert_p: bool = True) -> np.ndarray:
 def invert_stem(mixture: np.ndarray, stem: np.ndarray) -> np.ndarray:
     """Secondary stem by spectral subtraction (spec_utils.py:401-402).
     mixture/stem: (C, L) waves -> (L, C) inverted wave."""
-    v_spec = invert_audio([wave_to_spectrogram(mixture),
-                           wave_to_spectrogram(stem)])
-    return -spectrogram_to_wave(v_spec).T
+    v_spec = invert_audio([wave_to_spectrogram_no_mp(mixture),
+                           wave_to_spectrogram_no_mp(stem)])
+    return -spectrogram_to_wave_no_mp(v_spec).T
+
+
+def ensembling(a: str, inputs: list, is_wavs: bool = False) -> np.ndarray:
+    """Min/Max-magnitude ensemble across spectrograms or waves
+    (spec_utils.py:404-420)."""
+    input = inputs[0]
+    for i in range(1, len(inputs)):
+        if is_wavs:
+            ln = min(input.shape[1], inputs[i].shape[1])
+            input = input[:, :ln]
+            inputs[i] = inputs[i][:, :ln]
+        else:
+            ln = min(input.shape[2], inputs[i].shape[2])
+            input = input[:, :, :ln]
+            inputs[i] = inputs[i][:, :, :ln]
+        if a == MIN_SPEC:
+            input = np.where(np.abs(inputs[i]) <= np.abs(input), inputs[i],
+                             input)
+        if a == MAX_SPEC:
+            input = np.where(np.abs(inputs[i]) >= np.abs(input), inputs[i],
+                             input)
+    return input
+
+
+def ensemble_for_align(waves: list) -> np.ndarray:
+    """Min-spec ensemble used by the aligner (spec_utils.py:422-432)."""
+    specs = [wave_to_spectrogram_no_mp(wav.T) for wav in waves]
+    wav_aligned = spectrogram_to_wave_no_mp(ensembling(MIN_SPEC, specs)).T
+    return match_array_shapes(wav_aligned, waves[1], is_swap=True)
+
+
+def ensemble_inputs(audio_input: list, algorithm: str,
+                    is_normalization: bool, wav_type_set: str,
+                    save_path: str, is_wave: bool = False,
+                    is_array: bool = False) -> None:
+    """Ensemble N audio files into one (spec_utils.py:434-454)."""
+    if algorithm == AVERAGE:
+        output = average_audio(audio_input)
+        samplerate = 44100
+    else:
+        wavs_, specs = [], []
+        for path in audio_input:
+            wave = load_audio(path)
+            wavs_.append(wave)
+            specs.append(wave if is_wave else wave_to_spectrogram_no_mp(wave))
+        samplerate = 44100
+        wave_shapes = [w.shape[1] for w in wavs_]
+        target_shape = wavs_[wave_shapes.index(max(wave_shapes))]
+        output = (ensembling(algorithm, specs, is_wavs=True) if is_wave
+                  else spectrogram_to_wave_no_mp(
+                      ensembling(algorithm, specs)))
+        output = to_shape(output, target_shape.shape)
+    _write_out(save_path, normalize(output.T, is_normalization), samplerate,
+               wav_type_set)
+
+
+def to_shape(x: np.ndarray, target_shape) -> np.ndarray:
+    """Zero-pad up to target_shape (spec_utils.py:456-462)."""
+    pads = [(0, t - s) for s, t in zip(x.shape, target_shape)]
+    return np.pad(x, tuple(pads), mode="constant")
+
+
+def to_shape_minimize(x: np.ndarray, target_shape) -> np.ndarray:
+    """(spec_utils.py:464-470 — identical body to to_shape)."""
+    return to_shape(x, target_shape)
+
+
+def detect_leading_silence(audio: np.ndarray, sr: int,
+                           silence_threshold: float = 0.007,
+                           frame_length: int = 1024) -> float:
+    """Leading-silence length in ms (spec_utils.py:472-480)."""
+    if len(audio.shape) == 2:
+        channel = np.argmax(np.sum(np.abs(audio), axis=1))
+        audio = audio[channel]
+    for i in range(0, len(audio), frame_length):
+        if np.max(np.abs(audio[i:i + frame_length])) > silence_threshold:
+            return (i / sr) * 1000
+    return (len(audio) / sr) * 1000
+
+
+def adjust_leading_silence(target_audio: np.ndarray,
+                           reference_audio: np.ndarray,
+                           silence_threshold: float = 0.01,
+                           frame_length: int = 1024) -> np.ndarray:
+    """Pad/trim target's head so its first sound lines up with the
+    reference's (spec_utils.py:482-505)."""
+
+    def find_silence_end(audio):
+        if len(audio.shape) == 2:
+            channel = np.argmax(np.sum(np.abs(audio), axis=1))
+            audio_mono = audio[channel]
+        else:
+            audio_mono = audio
+        for i in range(0, len(audio_mono), frame_length):
+            if np.max(np.abs(audio_mono[i:i + frame_length])) \
+                    > silence_threshold:
+                return i
+        return len(audio_mono)
+
+    ref_silence_end = find_silence_end(reference_audio)
+    target_silence_end = find_silence_end(target_audio)
+    silence_difference = ref_silence_end - target_silence_end
+    if silence_difference > 0:
+        pad = (np.zeros((target_audio.shape[0], silence_difference))
+               if len(target_audio.shape) == 2
+               else np.zeros(silence_difference))
+        return np.hstack((pad, target_audio))
+    if silence_difference < 0:
+        return (target_audio[:, -silence_difference:]
+                if len(target_audio.shape) == 2
+                else target_audio[-silence_difference:])
+    return target_audio
+
+
+def match_array_shapes(array_1: np.ndarray, array_2: np.ndarray,
+                       is_swap: bool = False) -> np.ndarray:
+    """Trim/zero-pad array_1's axis 1 to array_2's
+    (spec_utils.py:507-518)."""
+    if is_swap:
+        array_1, array_2 = array_1.T, array_2.T
+    if array_1.shape[1] > array_2.shape[1]:
+        array_1 = array_1[:, :array_2.shape[1]]
+    elif array_1.shape[1] < array_2.shape[1]:
+        padding = array_2.shape[1] - array_1.shape[1]
+        array_1 = np.pad(array_1, ((0, 0), (0, padding)), "constant",
+                         constant_values=0)
+    if is_swap:
+        array_1, array_2 = array_1.T, array_2.T
+    return array_1
+
+
+def match_mono_array_shapes(array_1: np.ndarray,
+                            array_2: np.ndarray) -> np.ndarray:
+    """(spec_utils.py:520-526)."""
+    if len(array_1) > len(array_2):
+        array_1 = array_1[:len(array_2)]
+    elif len(array_1) < len(array_2):
+        array_1 = np.pad(array_1, (0, len(array_2) - len(array_1)),
+                         "constant", constant_values=0)
+    return array_1
+
+
+def change_pitch_semitones(y: np.ndarray, sr: int, semitone_shift: float):
+    """Pitch change by resampling without time correction
+    (spec_utils.py:528-538)."""
+    factor = 2 ** (semitone_shift / 12)
+    y_pitch_tuned = [np.asarray(_resample(ch, sr, sr * factor)) for ch in y]
+    return np.array(y_pitch_tuned), sr * factor
+
+
+def augment_audio(export_path: str, audio_file: str, rate: float,
+                  is_normalization: bool, wav_type_set: str,
+                  save_format=None, is_pitch: bool = False,
+                  is_time_correction: bool = True) -> None:
+    """Speed/pitch augmentation of a file (spec_utils.py:540-556);
+    rubberband replaced by our phase vocoder."""
+    wav = load_audio(audio_file)
+    sr = 44100
+    if not is_time_correction:
+        wav_mix = change_pitch_semitones(wav, sr, semitone_shift=-rate)[0]
+    else:
+        if is_pitch:
+            wav_1 = pitch_shift(wav[0], sr, rate)
+            wav_2 = pitch_shift(wav[1], sr, rate)
+        else:
+            wav_1 = time_stretch(wav[0], sr, rate)
+            wav_2 = time_stretch(wav[1], sr, rate)
+        if wav_1.shape > wav_2.shape:
+            wav_2 = to_shape(wav_2, wav_1.shape)
+        if wav_1.shape < wav_2.shape:
+            wav_1 = to_shape(wav_1, wav_2.shape)
+        wav_mix = np.asfortranarray([wav_1, wav_2])
+    _write_out(export_path, normalize(wav_mix.T, is_normalization), sr,
+               wav_type_set)
+    if save_format is not None:
+        save_format(export_path)
+
+
+def average_audio(audio: list) -> np.ndarray:
+    """Sample-mean of N files, padded to the longest
+    (spec_utils.py:558-577)."""
+    waves, wave_shapes, final_waves = [], [], []
+    for path in audio:
+        wave = load_audio(path)
+        waves.append(wave)
+        wave_shapes.append(wave.shape[1])
+    wave_shapes_index = wave_shapes.index(max(wave_shapes))
+    target_shape = waves[wave_shapes_index]
+    waves.pop(wave_shapes_index)
+    final_waves.append(target_shape)
+    for n_array in waves:
+        final_waves.append(to_shape(n_array, target_shape.shape))
+    waves = sum(final_waves)
+    return waves / len(audio)
+
+
+def average_dual_sources(wav_1: np.ndarray, wav_2: np.ndarray,
+                         value: float) -> np.ndarray:
+    """(spec_utils.py:579-583)."""
+    if wav_1.shape > wav_2.shape:
+        wav_2 = to_shape(wav_2, wav_1.shape)
+    if wav_1.shape < wav_2.shape:
+        wav_1 = to_shape(wav_1, wav_2.shape)
+    return (wav_1 * value) + (wav_2 * (1 - value))
+
+
+def reshape_sources(wav_1: np.ndarray, wav_2: np.ndarray) -> np.ndarray:
+    """Match wav_2 to wav_1's shape (spec_utils.py:585-596)."""
+    if wav_1.shape > wav_2.shape:
+        wav_2 = to_shape(wav_2, wav_1.shape)
+    if wav_1.shape < wav_2.shape:
+        ln = min(wav_1.shape[1], wav_2.shape[1])
+        wav_2 = wav_2[:, :ln]
+    ln = min(wav_1.shape[1], wav_2.shape[1])
+    return wav_2[:, :ln]
+
+
+def reshape_sources_ref(wav_1_shape, wav_2: np.ndarray) -> np.ndarray:
+    """(spec_utils.py:598-600)."""
+    if wav_1_shape > wav_2.shape:
+        wav_2 = to_shape(wav_2, wav_1_shape)
+    return wav_2
+
+
+def combine_arrarys(audio_sources: list, is_swap: bool = False) -> np.ndarray:
+    """Sum arrays onto the largest's shape (spec_utils.py:602-609;
+    the reference's typo'd name kept for API parity)."""
+    source = np.zeros_like(max(audio_sources, key=np.size))
+    for v in audio_sources:
+        v = match_array_shapes(v, source, is_swap=is_swap)
+        source += v
+    return source
+
+
+def combine_audio(paths: list, audio_file_base=None,
+                  wav_type_set: str = "FLOAT", save_format=None) -> None:
+    """(spec_utils.py:611-615)."""
+    source = combine_arrarys([load_audio(i) for i in paths])
+    save_path = f"{audio_file_base}_combined.wav"
+    _write_out(save_path, source.T, 44100, wav_type_set)
+    if save_format is not None:
+        save_format(save_path)
+
+
+def reduce_mix_bv(inst_source: np.ndarray, voc_source: np.ndarray,
+                  reduction_rate: float = 0.9) -> np.ndarray:
+    """(spec_utils.py:617-618)."""
+    return combine_arrarys([inst_source * (1 - reduction_rate), voc_source],
+                           is_swap=True)
+
+
+def organize_inputs(inputs: list) -> dict:
+    """Classify aligner input files by suffix (spec_utils.py:620-629)."""
+    input_list = {"target": None, "reference": None, "reverb": None,
+                  "inst": None}
+    for i in inputs:
+        if i.endswith("_(Vocals).wav"):
+            input_list["reference"] = i
+        elif "_RVC_" in i:
+            input_list["target"] = i
+        elif i.endswith("reverbed_stem.wav"):
+            input_list["reverb"] = i
+        elif i.endswith("_(Instrumental).wav"):
+            input_list["inst"] = i
+    return input_list
+
+
+def check_if_phase_inverted(wav1: np.ndarray, wav2: np.ndarray,
+                            is_mono: bool = False) -> bool:
+    """(spec_utils.py:631-636)."""
+    if not is_mono:
+        wav1 = np.mean(wav1, axis=0)
+        wav2 = np.mean(wav2, axis=0)
+    return np.corrcoef(wav1[:1000], wav2[:1000])[0, 1] < 0
+
+
+# --------------------------------------------------------------- alignment
+
+
+def align_audio(file1: str, file2: str, file2_aligned: str,
+                file_subtracted: str, wav_type_set: str,
+                is_save_aligned: bool, command_Text, save_format,
+                align_window: list, align_intro_val: list,
+                db_analysis: tuple, set_progress_bar, phase_option: str,
+                phase_shifts, is_match_silence: bool,
+                is_spec_match: bool) -> None:
+    """Time-align file2 against file1 and write the aligned + subtracted
+    results (spec_utils.py:638-739)."""
+    progress = {"value": 0}
+
+    def get_diff(a, b):
+        return np.correlate(a, b, "full").argmax() - (b.shape[0] - 1)
+
+    def progress_bar(length):
+        progress["value"] += 1
+        if (0.90 / length * progress["value"]) >= 0.9:
+            length = progress["value"] + 1
+        if set_progress_bar is not None:
+            set_progress_bar(0.1, (0.9 / length * progress["value"]))
+
+    if command_Text is None:
+        command_Text = lambda *_: None  # noqa: E731
+
+    wav1 = load_audio_maybe_mono(file1)
+    wav2 = load_audio_maybe_mono(file2)
+    sr1 = 44100
+    is_mono = False
+    if wav1.ndim == 1 and wav2.ndim == 1:
+        is_mono = True
+    elif wav1.ndim == 1:
+        wav1 = np.asfortranarray([wav1, wav1])
+    elif wav2.ndim == 1:
+        wav2 = np.asfortranarray([wav2, wav2])
+
+    if phase_option == AUTO_PHASE:
+        if check_if_phase_inverted(wav1, wav2, is_mono=is_mono):
+            wav2 = -wav2
+    elif phase_option == POSITIVE_PHASE:
+        wav2 = +wav2
+    elif phase_option == NEGATIVE_PHASE:
+        wav2 = -wav2
+
+    if is_match_silence:
+        wav2 = adjust_leading_silence(wav2, wav1)
+
+    wav1_length = int((wav1.shape[-1]) / 44100)
+    wav2_length = int((wav2.shape[-1]) / 44100)
+    if not is_mono:
+        wav1 = wav1.transpose()
+        wav2 = wav2.transpose()
+    wav2_org = wav2.copy()
+
+    command_Text("processing files...\n")
+    seconds_length = min(wav1_length, wav2_length)
+    wav2_aligned_sources = []
+    for sec_len in align_intro_val:
+        sec_seg = 1 if sec_len == 1 else int(seconds_length // sec_len)
+        index = sr1 * sec_seg
+        if is_mono:
+            samp1, samp2 = wav1[index:index + sr1], wav2[index:index + sr1]
+            diff = get_diff(samp1, samp2)
+        else:
+            samp1 = wav1[index:index + sr1, 0]
+            samp2 = wav2[index:index + sr1, 0]
+            diff = get_diff(samp1, samp2)
+        if diff > 0:
+            wav2_aligned = np.append(
+                np.zeros(diff) if is_mono else np.zeros((diff, 2)),
+                wav2_org, axis=0)
+        elif diff < 0:
+            wav2_aligned = wav2_org[-diff:]
+        else:
+            wav2_aligned = wav2_org
+        if not any(np.array_equal(wav2_aligned, source)
+                   for source in wav2_aligned_sources):
+            wav2_aligned_sources.append(wav2_aligned)
+
+    unique_sources = len(wav2_aligned_sources)
+    sub_mapper = {}
+    for s in wav2_aligned_sources:
+        wav2_aligned = (match_mono_array_shapes(s, wav1) if is_mono
+                        else match_array_shapes(s, wav1, is_swap=True))
+        if align_window:
+            wav_sub = time_correction(
+                wav1, wav2_aligned, seconds_length,
+                align_window=align_window, db_analysis=db_analysis,
+                progress_bar=progress_bar, unique_sources=unique_sources,
+                phase_shifts=phase_shifts)
+            sub_mapper[np.abs(wav_sub).mean()] = wav_sub
+        else:
+            wav2_gained = wav2_aligned * np.power(10, db_analysis[0] / 20)
+            for db_adjustment in db_analysis[1]:
+                wav_sub = wav1 - (wav2_gained * (10 ** (db_adjustment / 20)))
+                sub_mapper[np.abs(wav_sub).mean()] = wav_sub
+
+    wav_sub = (ensemble_for_align(list(sub_mapper.values()))
+               if is_spec_match and len(sub_mapper) >= 2
+               else ensemble_wav(list(sub_mapper.values())))
+    wav_sub = np.clip(wav_sub, -1, +1)
+
+    command_Text("saving instrumental...\n")
+    if is_save_aligned or is_spec_match:
+        wav1m = (match_mono_array_shapes(wav1, wav_sub) if is_mono
+                 else match_array_shapes(wav1, wav_sub, is_swap=True))
+        wav2_aligned = wav1m - wav_sub
+        if is_spec_match:
+            if wav1m.ndim == 1:
+                wav2_aligned = np.asfortranarray(
+                    [wav2_aligned, wav2_aligned]).T
+                wav1m = np.asfortranarray([wav1m, wav1m]).T
+            wav2_aligned = ensemble_for_align([wav2_aligned, wav1m])
+            wav_sub = wav1m - wav2_aligned
+        if is_save_aligned:
+            _write_out(file2_aligned, wav2_aligned, sr1, wav_type_set)
+            if save_format is not None:
+                save_format(file2_aligned)
+
+    _write_out(file_subtracted, wav_sub, sr1, wav_type_set)
+    if save_format is not None:
+        save_format(file_subtracted)
+
+
+def phase_shift_hilbert(signal: np.ndarray, degree: float) -> np.ndarray:
+    """(spec_utils.py:738-740)."""
+    analytic_signal = hilbert(signal)
+    return (np.cos(np.radians(degree)) * analytic_signal.real
+            - np.sin(np.radians(degree)) * analytic_signal.imag)
+
+
+def get_phase_shifted_tracks(track: np.ndarray, phase_shift: int) -> list:
+    """(spec_utils.py:742-753)."""
+    if phase_shift == 180:
+        return [track, -track]
+    step = phase_shift
+    end = 180 - (180 % step) if 180 % step == 0 else 181
+    phase_range = range(step, end, step)
+    flipped_list = [track, -track]
+    for i in phase_range:
+        flipped_list.extend([phase_shift_hilbert(track, i),
+                             phase_shift_hilbert(track, -i)])
+    return flipped_list
+
+
+def time_correction(mix: np.ndarray, instrumental: np.ndarray,
+                    seconds_length: int, align_window: list,
+                    db_analysis: tuple, sr: int = 44100,
+                    progress_bar=None, unique_sources=None,
+                    phase_shifts=NONE_P) -> np.ndarray:
+    """Windowed cross-correlation re-alignment of instrumental against
+    mix (spec_utils.py:755-819)."""
+
+    def align_tracks(track1, track2):
+        shifted_tracks = {}
+        track2 = track2 * np.power(10, db_analysis[0] / 20)
+        track2_flipped = ([track2] if phase_shifts == 190
+                          else get_phase_shifted_tracks(track2, phase_shifts))
+        for db_adjustment in db_analysis[1]:
+            for t in track2_flipped:
+                track2_adjusted = t * (10 ** (db_adjustment / 20))
+                track2_shifted = np.roll(
+                    track2_adjusted,
+                    shift=np.argmax(np.abs(correlate(track1,
+                                                     track2_adjusted)))
+                    - (len(track1) - 1))
+                shifted_tracks[np.abs(track1 - track2_shifted).mean()] = \
+                    track2_shifted
+        return shifted_tracks[min(shifted_tracks.keys())]
+
+    assert mix.shape == instrumental.shape, \
+        f"shape mismatch: {mix.shape} vs {instrumental.shape}"
+    seconds_length = seconds_length // 2
+
+    progress_update_interval = 120
+    total_iterations = 0
+    if len(align_window) > 2:
+        progress_update_interval = 320
+    for secs in align_window:
+        window_size = int(sr * secs)
+        step_size = int(sr * secs / 2)
+        if len(mix.shape) == 1:
+            total_iterations += ((len(range(0, len(mix) - window_size,
+                                            step_size))
+                                  // progress_update_interval)
+                                 * (unique_sources or 1))
+        else:
+            total_iterations += ((len(range(0, len(mix[:, 0]) - window_size,
+                                            step_size)) * 2
+                                  // progress_update_interval)
+                                 * (unique_sources or 1))
+
+    sub_mapper = {}
+    for secs in align_window:
+        sub = np.zeros_like(mix)
+        divider = np.zeros_like(mix)
+        window_size = int(sr * secs)
+        step_size = int(sr * secs / 2)
+        window = np.hanning(window_size)
+
+        if len(mix.shape) == 1:
+            counter = 0
+            for i in range(0, len(mix) - window_size, step_size):
+                counter += 1
+                if counter % progress_update_interval == 0 \
+                        and progress_bar is not None:
+                    progress_bar(total_iterations)
+                window_mix = mix[i:i + window_size] * window
+                window_instrumental = instrumental[i:i + window_size] * window
+                window_instrumental_aligned = align_tracks(
+                    window_mix, window_instrumental)
+                sub[i:i + window_size] += \
+                    window_mix - window_instrumental_aligned
+                divider[i:i + window_size] += window
+        else:
+            counter = 0
+            for ch in range(mix.shape[1]):
+                for i in range(0, len(mix[:, ch]) - window_size, step_size):
+                    counter += 1
+                    if counter % progress_update_interval == 0 \
+                            and progress_bar is not None:
+                        progress_bar(total_iterations)
+                    window_mix = mix[i:i + window_size, ch] * window
+                    window_instrumental = \
+                        instrumental[i:i + window_size, ch] * window
+                    window_instrumental_aligned = align_tracks(
+                        window_mix, window_instrumental)
+                    sub[i:i + window_size, ch] += \
+                        window_mix - window_instrumental_aligned
+                    divider[i:i + window_size, ch] += window
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sub_mapper[np.abs(sub).mean()] = \
+                np.where(divider > 1e-6, sub / divider, sub)
+
+    return ensemble_wav(list(sub_mapper.values()), split_size=12)
+
+
+def ensemble_wav(waveforms: list, split_size: int = 240) -> np.ndarray:
+    """Piecewise-min-energy ensemble (spec_utils.py:821-827)."""
+    waveform_thirds = {i: np.array_split(waveform, split_size)
+                       for i, waveform in enumerate(waveforms)}
+    final_waveform = []
+    for third_idx in range(split_size):
+        final_waveform.append(
+            waveform_thirds[np.argmin(
+                [np.abs(waveform_thirds[i][third_idx]).mean()
+                 for i in range(len(waveforms))])][third_idx])
+    return np.concatenate(final_waveform)
+
+
+def ensemble_wav_min(waveforms: list) -> np.ndarray:
+    """Sample-wise min-magnitude ensemble (spec_utils.py:829-837)."""
+    wave = waveforms[0]
+    for i in range(1, len(waveforms)):
+        ln = min(len(wave), len(waveforms[i]))
+        wave = wave[:ln]
+        waveforms[i] = waveforms[i][:ln]
+        wave = np.where(np.abs(waveforms[i]) <= np.abs(wave), waveforms[i],
+                        wave)
+    return wave
+
+
+def align_audio_test(wav1: np.ndarray, wav2: np.ndarray,
+                     sr1: int = 44100) -> np.ndarray:
+    """(spec_utils.py:839-852)."""
+
+    def get_diff(a, b):
+        return np.correlate(a, b, "full").argmax() - (b.shape[0] - 1)
+
+    wav1 = wav1.transpose()
+    wav2 = wav2.transpose()
+    wav2_org = wav2.copy()
+    index = sr1
+    diff = get_diff(wav1[index:index + sr1, 0], wav2[index:index + sr1, 0])
+    if diff > 0:
+        wav2_aligned = np.append(np.zeros((diff, 1)), wav2_org, axis=0)
+    elif diff < 0:
+        wav2_aligned = wav2_org[-diff:]
+    else:
+        wav2_aligned = wav2_org
+    return wav2_aligned
+
+
+# ----------------------------------------------------------------- file I/O
+
+
+def load_audio(audio_file: str) -> np.ndarray:
+    """(C, L) stereo at 44100 (spec_utils.py:854-857)."""
+    wav = load_audio_maybe_mono(audio_file)
+    if wav.ndim == 1:
+        wav = np.asfortranarray([wav, wav])
+    return wav
+
+
+def load_audio_maybe_mono(audio_file: str) -> np.ndarray:
+    """librosa.load(sr=44100, mono=False) semantics on our readers:
+    mono files stay 1-D, stereo -> (2, L)."""
+    audio, sr = _read_wav_file(audio_file)
+    if audio.ndim == 2:
+        audio = audio.T  # (T, C) -> (C, T)
+    if sr != 44100:
+        audio = _resample(audio, sr, 44100)
+    return np.asarray(audio, np.float32)
+
+
+def _write_out(path: str, audio: np.ndarray, sr: int,
+               wav_type_set: str) -> None:
+    subtype = "float32" if "FLOAT" in (wav_type_set or "").upper() \
+        else "pcm16"
+    _save_wav(path, np.asarray(audio), sr, subtype=subtype)
+
+
+# -------------------------------------------------- rubberband replacements
+
+
+def time_stretch(y: np.ndarray, sr: int, rate: float) -> np.ndarray:
+    """Tempo change without pitch change (reference shells out to the
+    rubberband binary, spec_utils.py:887-893; ours is the phase vocoder
+    from utils/tts.py).  rate > 1 -> shorter output."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    if rate == 1.0:
+        return y
+    from ..utils.tts import time_stretch as _pv_stretch
+
+    target_duration = (len(y) / sr) / rate
+    return _pv_stretch(y, sr, target_duration)
+
+
+def pitch_shift(y: np.ndarray, sr: int, n_steps: float,
+                rbargs=None) -> np.ndarray:
+    """Pitch shift preserving duration (reference rubberband,
+    spec_utils.py:895-899; ours is the STFT phase-vocoder shifter)."""
+    if n_steps == 0:
+        return y
+    from ..utils.pitchshift import shift_pitch
+
+    return shift_pitch(np.asarray(y, np.float64), sr,
+                       factors=2.0 ** (n_steps / 12.0)).astype(np.float32)
