@@ -121,6 +121,22 @@ INDEX_HTML = """<!DOCTYPE html>
  <button onclick="f0Extract()">Extract</button>
  <pre id="p_out"></pre>
 </fieldset>
+<fieldset><legend><b>Audio editing (AudioLDM2)</b></legend>
+ <label>Input audio path</label><input id="a_in" size="40"><br>
+ <label>Output path</label><input id="a_out_path" size="40" value="audios/output.wav"><br>
+ <label>Model</label><select id="a_model"><option selected>audioldm2-music</option>
+   <option>audioldm2</option><option>audioldm2-large</option></select><br>
+ <label>Source prompt</label><input id="a_src" size="50"><br>
+ <label>Target prompt</label><input id="a_tar" size="50"><br>
+ <label>Steps</label><input id="a_steps" type="number" value="50">
+ <label>t_start (%)</label><input id="a_tstart" type="number" value="45"><br>
+ <label>CFG source</label><input id="a_cfg_src" type="number" step="0.5" value="3">
+ <label>CFG target</label><input id="a_cfg_tar" type="number" step="0.5" value="12"><br>
+ <label>Sample rate</label><input id="a_sr" type="number" value="44100">
+ <label>Format</label><select id="a_fmt"><option>wav</option><option>flac</option></select><br>
+ <button onclick="audioEdit()">Edit</button>
+ <pre id="a_out"></pre>
+</fieldset>
 <fieldset><legend><b>Text-to-speech</b></legend>
  <label>Text</label><input id="y_text" size="50"><br>
  <label>Voice</label><input id="y_voice" size="30" value="en-US-EmmaMultilingualNeural">
@@ -244,6 +260,22 @@ async function jobStatus(){
   const r = await post('/api/job_status', {job_id: lastJob});
   document.getElementById('t_out').innerText =
     (r.done ? '[done] ' : '[running] ') + (r.error||'') + '\n' + (r.log||'');
+}
+async function audioEdit(){
+  document.getElementById('a_out').innerText = 'editing...';
+  const r = await post('/api/audio_edit', {
+    input: document.getElementById('a_in').value,
+    output: document.getElementById('a_out_path').value,
+    model: document.getElementById('a_model').value,
+    source_prompt: document.getElementById('a_src').value,
+    target_prompt: document.getElementById('a_tar').value,
+    steps: +document.getElementById('a_steps').value,
+    t_start: +document.getElementById('a_tstart').value,
+    cfg_scale_src: +document.getElementById('a_cfg_src').value,
+    cfg_scale_tar: +document.getElementById('a_cfg_tar').value,
+    sample_rate: +document.getElementById('a_sr').value,
+    export_format: document.getElementById('a_fmt').value});
+  document.getElementById('a_out').innerText = JSON.stringify(r, null, 2);
 }
 async function info(){
   const r = await post('/api/model_info', {model: document.getElementById('i_model').value});
@@ -507,6 +539,8 @@ class Handler(BaseHTTPRequestHandler):
                 self._json({"output": out})
             elif self.path == "/api/tts":
                 self._api_tts(req)
+            elif self.path == "/api/audio_edit":
+                self._api_audio_edit(req)
             elif self.path == "/api/convert_whisper":
                 self._api_convert_whisper(req)
             elif self.path == "/api/settings":
@@ -671,6 +705,28 @@ class Handler(BaseHTTPRequestHandler):
             resp["converted_b64"] = _audio_to_wav_b64(out, pipe.cfg.sr)
             resp["converted_sr"] = pipe.cfg.sr
         self._json(resp)
+
+    def _api_audio_edit(self, req):
+        """Audio-editing tab (reference app.py:2226 -> run_audioldm2 ->
+        main/inference/audioldm2.py).  The diffusion checkpoint stack is
+        download-gated (same as the reference without network); tests
+        exercise the full pipeline via the toy latent stack."""
+        from ..edit.pipeline import ToyMelStack, edit
+
+        stack = ToyMelStack() if req.get("toy_stack") else None
+        out = edit(
+            req["input"], req.get("output", "audios/output.wav"),
+            model_id=req.get("model", "audioldm2-music"),
+            source_prompt=req.get("source_prompt", ""),
+            target_prompt=req.get("target_prompt", ""),
+            steps=int(req.get("steps", 50)),
+            cfg_scale_src=float(req.get("cfg_scale_src", 3.5)),
+            cfg_scale_tar=float(req.get("cfg_scale_tar", 12.0)),
+            t_start=int(req.get("t_start", 45)),
+            sr=int(req.get("sample_rate", 44100)),
+            export_format=req.get("export_format", "wav"),
+            stack=stack)
+        self._json({"output": out})
 
     def _api_convert_whisper(self, req):
         """Diarized two-model conversion (reference convert_with_whisper

@@ -528,6 +528,23 @@ def cmd_export_onnx(args):
     print(f"exported -> {out}")
 
 
+def cmd_edit(args):
+    """Prompt-based audio editing (reference main/inference/audioldm2.py
+    main:64-86; flags parse_arguments:46-62)."""
+    from .edit.pipeline import ToyMelStack, edit
+
+    _setup_logging(None, "audioldm2")
+    out = edit(args.input_path, args.output_path, model_id=args.model,
+               source_prompt=args.source_prompt,
+               target_prompt=args.target_prompt, steps=args.steps,
+               cfg_scale_src=args.cfg_scale_src,
+               cfg_scale_tar=args.cfg_scale_tar, t_start=args.t_start,
+               save_compute=args.save_compute, sr=args.sample_rate,
+               export_format=args.export_format,
+               stack=ToyMelStack() if args.toy_stack else None)
+    print(f"edited -> {out}")
+
+
 def cmd_tensorboard(args):
     from .pipelines.tb_logging import launch_tensorboard
 
@@ -808,6 +825,30 @@ def build_parser():
                     help="static frame capacity of the exported graph "
                          "(graphs are shape-specialized like XLA programs)")
     so.set_defaults(func=cmd_export_onnx)
+
+    sa = sub.add_parser("edit",
+                        help="prompt-based audio editing via DDPM "
+                             "inversion (reference audioldm2.py; the "
+                             "diffusion checkpoint stack is "
+                             "download-gated)")
+    sa.add_argument("--input-path", required=True)
+    sa.add_argument("--output-path", default="./output.wav")
+    sa.add_argument("--export-format", default="wav")
+    sa.add_argument("--sample-rate", type=int, default=44100)
+    sa.add_argument("--model", default="audioldm2-music",
+                    choices=["audioldm2", "audioldm2-large",
+                             "audioldm2-music"])
+    sa.add_argument("--source-prompt", default="")
+    sa.add_argument("--target-prompt", default="")
+    sa.add_argument("--steps", type=int, default=50)
+    sa.add_argument("--cfg-scale-src", type=float, default=3.5)
+    sa.add_argument("--cfg-scale-tar", type=float, default=12.0)
+    sa.add_argument("--t-start", type=int, default=45)
+    sa.add_argument("--save-compute", action="store_true", default=True)
+    sa.add_argument("--toy-stack", action="store_true",
+                    help="use the self-contained toy latent stack "
+                         "(no pretrained weights; for testing)")
+    sa.set_defaults(func=cmd_edit)
 
     sb = sub.add_parser("tensorboard")
     sb.add_argument("--logdir", required=True)

@@ -323,3 +323,34 @@ def test_download_endpoint_error_surface(server_port):
     except urllib.error.HTTPError as e:
         body = json.loads(e.read())
         assert "error" in body
+
+
+def test_audio_edit_endpoint(tmp_path, server_port):
+    from rvc_maker_tpu.utils.audio import save_wav
+
+    t = np.arange(8000) / 16000.0
+    tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    src = str(tmp_path / "edit_in.wav")
+    save_wav(src, tone, 16000, subtype="float32")
+    out = str(tmp_path / "edit_out.wav")
+
+    r = _post(server_port, "/api/audio_edit", {
+        "input": src, "output": out, "toy_stack": True,
+        "steps": 6, "t_start": 50, "sample_rate": 16000})
+    assert r["output"] == out
+    sr, data = wavfile.read(out)
+    assert sr == 16000 and np.all(np.isfinite(data))
+
+    # without weights the checkpoint stack is download-gated
+    try:
+        _post(server_port, "/api/audio_edit",
+              {"input": src, "output": out})
+        assert False, "expected gated error"
+    except Exception as e:
+        assert "500" in str(e) or "gated" in str(e)
+
+
+def test_index_page_has_edit_tab(server_port):
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/").read().decode()
+    assert "Audio editing (AudioLDM2)" in html

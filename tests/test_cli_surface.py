@@ -106,3 +106,20 @@ def test_cli_f0_less_model(tmp_path, tone_wav, no_bootstrap):
           "--model", p, "--f0-method", "yin", "--index-rate", "0"])
     sr, data = wavfile.read(out)
     assert sr == cfg.sr and np.all(np.isfinite(data)) and len(data) > 0
+
+
+def test_cli_edit_toy_stack(tmp_path, tone_wav):
+    out = str(tmp_path / "edited.wav")
+    main(["edit", "--input-path", tone_wav, "--output-path", out,
+          "--toy-stack", "--steps", "6", "--t-start", "50",
+          "--sample-rate", "16000"])
+    sr, data = wavfile.read(out)
+    assert sr == 16000 and data.ndim == 2 and np.all(np.isfinite(data))
+
+
+def test_cli_edit_gated_without_weights(tmp_path, tone_wav):
+    import pytest
+
+    with pytest.raises(RuntimeError, match="download-gated"):
+        main(["edit", "--input-path", tone_wav,
+              "--output-path", str(tmp_path / "x.wav")])
