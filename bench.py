@@ -41,6 +41,7 @@ def main():
     index_rows = int(os.environ.get("BENCH_INDEX_ROWS", "10000"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")  # bf16 | fp32
     mdb = int(os.environ.get("BENCH_MDB", "16"))
+    rmvpe_mb = int(os.environ.get("BENCH_RMVPE_MB", "8"))
 
     log(f"devices: {jax.devices()}")
     cfg = preset("v2", 48000).model
@@ -62,7 +63,8 @@ def main():
                            rmvpe_params=rmvpe_params,
                            index_vectors=index_vectors,
                            compute_dtype=compute_dtype,
-                           max_device_batch=mdb)
+                           max_device_batch=mdb,
+                           rmvpe_microbatch=rmvpe_mb)
     settings = ConvertSettings(index_rate=0.5, f0_method="rmvpe")
 
     L = int(16000 * seconds)
