@@ -74,15 +74,60 @@ def _absolute_to_relative(x):
     return x[:, :, :, 1:]
 
 
+def _band_validity(t: int, width: int, dtype):
+    """(T, W) mask: band entry [i, d] maps to column i + d - w; 1 if in
+    [0, T)."""
+    w = (width - 1) // 2
+    cols = jnp.arange(t)[:, None] + jnp.arange(width)[None, :] - w
+    return ((cols >= 0) & (cols < t)).astype(dtype)
+
+
+def _band_to_matrix(band, t: int):
+    """(B, H, T, W) banded values -> dense (B, H, T, T) with
+    M[i, i + d - w] = band[i, d] (out-of-range entries dropped).
+
+    Flat-index identity: with X = zero-pad(band) to (T, T+1) columns,
+    M.flat[i] = X.flat[i + w].  One pad + one slice instead of the
+    reference's (B, H, T, 2T-1) materialization
+    (synthesizers.py:271-274) — the relative term is only w=10 wide.
+    """
+    b, h, _, width = band.shape
+    w = (width - 1) // 2
+    band = band * _band_validity(t, width, band.dtype)
+    xp = jnp.pad(band, ((0, 0), (0, 0), (0, 0), (0, t + 1 - width)))
+    flat = xp.reshape(b, h, t * (t + 1))
+    return jax.lax.slice(flat, (0, 0, w), (b, h, w + t * t)).reshape(b, h, t, t)
+
+
+def _matrix_to_band(m, width: int):
+    """(B, H, T, T) dense -> (B, H, T, W) band: band[i, d] = M[i, i+d-w]
+    (out-of-range entries zeroed).  Inverse flat trick of
+    _band_to_matrix; replaces the reference's (B, H, T, 2T-1) pad/reshape
+    (synthesizers.py:276-279)."""
+    b, h, t, _ = m.shape
+    w = (width - 1) // 2
+    flat = m.reshape(b, h, t * t)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (w, t - w)))
+    band = flat.reshape(b, h, t, t + 1)[:, :, :, :width]
+    return band * _band_validity(t, width, m.dtype)
+
+
 def multi_head_attention(p: Params, x, attn_mask, *, n_heads: int,
                          window_size: int):
     """Self-attention with windowed relative position bias.
 
     x: (B, T, C); attn_mask: (B, 1, T, T) with 1 = attend.
+
+    The relative-position terms use banded forms of width 2*window+1
+    (the embeddings are zero outside the window, so the products over
+    the reference's zero-padded (2T-1)-wide tensors reduce exactly to
+    the band — semantics of reference synthesizers.py:241-263 with
+    O(T*w) instead of O(T^2) relative work).
     """
     b, t, c = x.shape
     k_ch = c // n_heads
     scale = 1.0 / math.sqrt(k_ch)
+    width = 2 * window_size + 1
 
     q = linear(x, p["q"]["w"], p["q"]["b"]).reshape(b, t, n_heads, k_ch).transpose(0, 2, 1, 3)
     k = linear(x, p["k"]["w"], p["k"]["b"]).reshape(b, t, n_heads, k_ch).transpose(0, 2, 1, 3)
@@ -90,16 +135,26 @@ def multi_head_attention(p: Params, x, attn_mask, *, n_heads: int,
 
     scores = jnp.einsum("bhtk,bhsk->bhts", q * scale, k)
 
-    rel_k = _get_relative_embeddings(p["emb_rel_k"], t, window_size)  # (1, 2t-1, k)
-    rel_logits = jnp.einsum("bhtk,gsk->bhts", q * scale, rel_k)  # (B,H,T,2T-1)
-    scores = scores + _relative_to_absolute(rel_logits)
+    if t >= width:
+        band_logits = jnp.einsum("bhtk,gdk->bhtd", q * scale,
+                                 p["emb_rel_k"].astype(q.dtype))
+        scores = scores + _band_to_matrix(band_logits, t)
+    else:
+        rel_k = _get_relative_embeddings(p["emb_rel_k"], t, window_size)
+        rel_logits = jnp.einsum("bhtk,gsk->bhts", q * scale, rel_k)
+        scores = scores + _relative_to_absolute(rel_logits)
 
     scores = jnp.where(attn_mask == 0, -1e4, scores)
     p_attn = jax.nn.softmax(scores, axis=-1)
 
     out = jnp.einsum("bhts,bhsk->bhtk", p_attn, v)
-    rel_v = _get_relative_embeddings(p["emb_rel_v"], t, window_size)
-    out = out + jnp.einsum("bhts,gsk->bhtk", _absolute_to_relative(p_attn), rel_v)
+    if t >= width:
+        band_attn = _matrix_to_band(p_attn, width)
+        out = out + jnp.einsum("bhtd,gdk->bhtk", band_attn,
+                               p["emb_rel_v"].astype(p_attn.dtype))
+    else:
+        rel_v = _get_relative_embeddings(p["emb_rel_v"], t, window_size)
+        out = out + jnp.einsum("bhts,gsk->bhtk", _absolute_to_relative(p_attn), rel_v)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
     return linear(out, p["o"]["w"], p["o"]["b"])

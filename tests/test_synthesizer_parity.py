@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from rvc_maker_tpu.config import ModelConfig
@@ -69,6 +70,56 @@ def _mk_inputs(t=23, b=2, seed=0):
     lengths = np.array([t, t - 5], dtype=np.int64)
     sid = np.array([1, 3], dtype=np.int64)
     return phone, pitch, nsff0, lengths, sid
+
+
+def test_banded_rel_attention_equals_full():
+    """The O(T*w) banded relative-position path (T >= 2w+1) must equal
+    the reference-style full (2T-1)-wide formulation on the same input."""
+    rs = np.random.RandomState(7)
+    b, t, c, heads, w = 2, 120, 192, 2, 10
+    k_ch = c // heads
+    p = {
+        "q": {"w": jnp.asarray(rs.randn(c, c) * 0.05, jnp.float32),
+              "b": jnp.zeros((c,), jnp.float32)},
+        "k": {"w": jnp.asarray(rs.randn(c, c) * 0.05, jnp.float32),
+              "b": jnp.zeros((c,), jnp.float32)},
+        "v": {"w": jnp.asarray(rs.randn(c, c) * 0.05, jnp.float32),
+              "b": jnp.zeros((c,), jnp.float32)},
+        "o": {"w": jnp.asarray(rs.randn(c, c) * 0.05, jnp.float32),
+              "b": jnp.zeros((c,), jnp.float32)},
+        "emb_rel_k": jnp.asarray(rs.randn(1, 2 * w + 1, k_ch) * 0.1,
+                                 jnp.float32),
+        "emb_rel_v": jnp.asarray(rs.randn(1, 2 * w + 1, k_ch) * 0.1,
+                                 jnp.float32),
+    }
+    x = jnp.asarray(rs.randn(b, t, c), jnp.float32)
+    lengths = jnp.asarray([t, t - 17], jnp.int32)
+    from rvc_maker_tpu.ops.nn import sequence_mask
+    x_mask = sequence_mask(lengths, t).astype(x.dtype)[:, :, None]
+    attn_mask = (x_mask[:, None, :, :] * x_mask[:, None, None, :, 0])
+
+    got = syn.multi_head_attention(p, x, attn_mask, n_heads=heads,
+                                   window_size=w)
+
+    # full-width formulation (what the reference computes)
+    q = (x @ p["q"]["w"]).reshape(b, t, heads, k_ch).transpose(0, 2, 1, 3)
+    k = (x @ p["k"]["w"]).reshape(b, t, heads, k_ch).transpose(0, 2, 1, 3)
+    v = (x @ p["v"]["w"]).reshape(b, t, heads, k_ch).transpose(0, 2, 1, 3)
+    scale = 1.0 / np.sqrt(k_ch)
+    scores = jnp.einsum("bhtk,bhsk->bhts", q * scale, k)
+    rel_k = syn._get_relative_embeddings(p["emb_rel_k"], t, w)
+    scores = scores + syn._relative_to_absolute(
+        jnp.einsum("bhtk,gsk->bhts", q * scale, rel_k))
+    scores = jnp.where(attn_mask == 0, -1e4, scores)
+    p_attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsk->bhtk", p_attn, v)
+    rel_v = syn._get_relative_embeddings(p["emb_rel_v"], t, w)
+    out = out + jnp.einsum("bhts,gsk->bhtk",
+                           syn._absolute_to_relative(p_attn), rel_v)
+    want = out.transpose(0, 2, 1, 3).reshape(b, t, c) @ p["o"]["w"]
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_text_encoder_parity(ref_and_params):
