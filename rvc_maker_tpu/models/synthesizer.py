@@ -390,6 +390,49 @@ def use_pallas_default() -> bool:
     return os.environ.get("RVC_TPU_PALLAS", "0") == "1"
 
 
+def _fold_enabled(dtype) -> bool:
+    """Space-to-depth folding of lane-starved decode stages
+    (ops/folded_conv.py): on by default in bf16 fast mode (measured 1.98x
+    on the C=32 stage on the target chip, exact up to accumulation
+    order), off in fp32 parity mode to keep the ≤1e-3 waveform budget
+    untouched.  RVC_TPU_FOLD=0 disables, =1 forces (also fp32)."""
+    import os
+
+    v = os.environ.get("RVC_TPU_FOLD", "")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return dtype == jnp.bfloat16
+
+
+def _resblock_group(p: Params, x, indices, *, kernels, dilations,
+                    use_pallas: bool):
+    """Sum/avg of the stage's resblocks (reference synthesizers.py:141-149),
+    with the space-to-depth fold applied around the whole group when the
+    stage is lane-starved (C*4 <= 128) — one fold + one unfold per stage."""
+    from ..ops.folded_conv import (fold_time, folded_resblock, pick_fold,
+                                   unfold_time)
+
+    fold = 0
+    if not use_pallas and _fold_enabled(x.dtype):
+        fold = pick_fold(x.shape[-1], x.shape[1])
+    if fold:
+        xf = fold_time(x, fold)
+        xs = None
+        for idx, ks, ds in zip(indices, kernels, dilations):
+            r = folded_resblock(p["resblocks"][idx], xf, kernel_size=ks,
+                                dilations=ds, fold=fold)
+            xs = r if xs is None else xs + r
+        return unfold_time(xs / len(indices), fold)
+    xs = None
+    for idx, ks, ds in zip(indices, kernels, dilations):
+        r = _resblock_opt(p["resblocks"][idx], x, kernel_size=ks,
+                          dilations=ds, use_pallas=use_pallas)
+        xs = r if xs is None else xs + r
+    return xs / len(indices)
+
+
 def _resblock_opt(rb: Params, x, *, kernel_size: int, dilations,
                   use_pallas: bool):
     """Resblock with the optional optimized implementations (time-blocked
@@ -427,13 +470,10 @@ def generator(p: Params, cfg: ModelConfig, x, g, *, use_pallas: bool = False):
         # plain Generator: symmetric padding, no output_padding (:30)
         x = conv_transpose1d(x, p["ups"][i]["w"], p["ups"][i]["b"],
                              stride=u, padding=(k - u) // 2)
-        xs = None
-        for j, (ks, ds) in enumerate(zip(cfg.resblock_kernel_sizes,
-                                         cfg.resblock_dilation_sizes)):
-            r = _resblock_opt(p["resblocks"][i * nk + j], x, kernel_size=ks,
-                              dilations=ds, use_pallas=use_pallas)
-            xs = r if xs is None else xs + r
-        x = xs / nk
+        x = _resblock_group(p, x, [i * nk + j for j in range(nk)],
+                            kernels=cfg.resblock_kernel_sizes,
+                            dilations=cfg.resblock_dilation_sizes,
+                            use_pallas=use_pallas)
     x = leaky_relu(x, 0.01)   # torch F.leaky_relu default (:56)
     x = conv1d(x, p["conv_post"]["w"], None, padding=3)  # bias=False
     return jnp.tanh(x)
@@ -464,13 +504,10 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
                              output_padding=st["out_pad"])
         x = x + conv1d(har, p["noise_convs"][i]["w"], p["noise_convs"][i]["b"],
                        stride=st["noise_stride"], padding=st["noise_pad"])
-        xs = None
-        for j, (ks, ds) in enumerate(zip(cfg.resblock_kernel_sizes,
-                                         cfg.resblock_dilation_sizes)):
-            r = _resblock_opt(p["resblocks"][i * nk + j], x, kernel_size=ks,
-                              dilations=ds, use_pallas=use_pallas)
-            xs = r if xs is None else xs + r
-        x = xs / nk
+        x = _resblock_group(p, x, [i * nk + j for j in range(nk)],
+                            kernels=cfg.resblock_kernel_sizes,
+                            dilations=cfg.resblock_dilation_sizes,
+                            use_pallas=use_pallas)
 
     x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here (ref :161)
     x = conv1d(x, p["conv_post"]["w"], None, padding=3)  # bias=False
