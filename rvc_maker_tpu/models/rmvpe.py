@@ -57,9 +57,25 @@ def _conv_block_res(p: Params, x):
     return y + x
 
 
-def _res_encoder_block(p: Params, x, pool: bool):
+def _block_chain(p: Params, x, fold: int):
+    """The level's ConvBlockRes chain, W-folded when the level is
+    lane-starved (ops/folded_conv2d.py; per-level policy measured on the
+    target chip, docs/perf_notes.md)."""
+    if fold and x.shape[2] % fold == 0:
+        from ..ops.folded_conv2d import (fold_w, folded_conv_block_res,
+                                         unfold_w)
+
+        xf = fold_w(x, fold)
+        for bp in p["blocks"]:
+            xf = folded_conv_block_res(bp, xf, fold=fold)
+        return unfold_w(xf, fold)
     for bp in p["blocks"]:
         x = _conv_block_res(bp, x)
+    return x
+
+
+def _res_encoder_block(p: Params, x, pool: bool, fold: int = 0):
+    x = _block_chain(p, x, fold)
     if pool:
         pooled = jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
@@ -67,7 +83,7 @@ def _res_encoder_block(p: Params, x, pool: bool):
     return x
 
 
-def _res_decoder_block(p: Params, x, skip):
+def _res_decoder_block(p: Params, x, skip, fold: int = 0):
     """ConvT(3x3, stride 2, pad 1, outpad 1, no bias) + BN + ReLU, concat
     skip, then res blocks. RMVPE.py:88-106."""
     # transposed conv === input-dilated conv with flipped kernel.
@@ -79,25 +95,36 @@ def _res_decoder_block(p: Params, x, skip):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = jax.nn.relu(_bn(y, p["bn"]))
     y = jnp.concatenate([y, skip], axis=-1)
-    for bp in p["blocks"]:
-        y = _conv_block_res(bp, y)
-    return y
+    return _block_chain(p, y, fold)
+
+
+# Per-level W-fold factors, A/B-measured on the target chip (bf16, B=8;
+# docs/perf_notes.md): enc0 2.92x, enc2 1.44x, dec2..4 1.4-2.8x; enc1
+# measured neutral (its folded INPUT side is still under-width: 16ch x4
+# = 64 lanes) and the C>=128 levels are already lane-healthy.
+_ENC_FOLDS = (8, 0, 2, 0, 0)
+_DEC_FOLDS = (0, 0, 2, 4, 8)
 
 
 def e2e_apply(p: Params, mel):
     """Salience network. mel: (B, n_mels, T) as the reference orients it.
     Returns (B, T, 360) sigmoid salience. T must be a multiple of 32."""
+    from ..ops.folded_conv import fold_enabled
+
+    use_fold = fold_enabled(mel.dtype)
     x = mel.transpose(0, 2, 1)[..., None]      # (B, T, 128, 1) NHWC
     x = _bn(x, p["in_bn"])
 
     skips = []
-    for lp in p["encoder"]:
-        t, x = _res_encoder_block(lp, x, pool=True)
+    for i, lp in enumerate(p["encoder"]):
+        t, x = _res_encoder_block(lp, x, pool=True,
+                                  fold=_ENC_FOLDS[i] if use_fold else 0)
         skips.append(t)
     for lp in p["intermediate"]:
         x = _res_encoder_block(lp, x, pool=False)
     for i, lp in enumerate(p["decoder"]):
-        x = _res_decoder_block(lp, x, skips[-1 - i])
+        x = _res_decoder_block(lp, x, skips[-1 - i],
+                               fold=_DEC_FOLDS[i] if use_fold else 0)
 
     x = _conv2d(x, p["cnn"]["w"]) + p["cnn"]["b"]          # (B, T, 128, 3)
     b, t, f, c = x.shape
@@ -108,16 +135,24 @@ def e2e_apply(p: Params, mel):
     return jax.nn.sigmoid(x)
 
 
-def _gru_dir(x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
-    """Single-direction GRU via lax.scan, matching torch.nn.GRU numerics.
+def _bigru(p: Params, x):
+    """Bidirectional GRU matching torch.nn.GRU numerics, both directions
+    fused into ONE lax.scan (the backward direction rides time-reversed
+    on a leading dir axis) — the scan is overhead-bound at these sizes,
+    so halving the sequential step count ~halves its wall time.
 
-    x: (B, T, I); weights in torch layout (3H, I) / (3H, H), gate order r,z,n.
+    x: (B, T, I); weights in torch layout (3H, I) / (3H, H), gate order
+    r,z,n.  Input gates for the whole sequence are one big matmul.
     """
-    hdim = w_hh.shape[1]
-    xg = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih  # (B, T, 3H)
+    hdim = p["w_hh"].shape[1]
+    xg_f = jnp.einsum("bti,gi->btg", x, p["w_ih"]) + p["b_ih"]
+    xg_b = jnp.einsum("bti,gi->btg", x, p["w_ih_r"]) + p["b_ih_r"]
+    xg = jnp.stack([xg_f, jnp.flip(xg_b, axis=1)], axis=0)  # (2, B, T, 3H)
+    w_hh = jnp.stack([p["w_hh"], p["w_hh_r"]])              # (2, 3H, H)
+    b_hh = jnp.stack([p["b_hh"], p["b_hh_r"]])[:, None]     # (2, 1, 3H)
 
     def step(h, xg_t):
-        hg = h @ w_hh.T + b_hh
+        hg = jnp.einsum("dbh,dgh->dbg", h, w_hh) + b_hh
         xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hg, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
@@ -126,14 +161,10 @@ def _gru_dir(x, w_ih, w_hh, b_ih, b_hh, reverse: bool):
         h = (1.0 - z) * n + z * h
         return h, h
 
-    h0 = jnp.zeros((x.shape[0], hdim), x.dtype)
-    _, ys = jax.lax.scan(step, h0, xg.transpose(1, 0, 2), reverse=reverse)
-    return ys.transpose(1, 0, 2)
-
-
-def _bigru(p: Params, x):
-    fwd = _gru_dir(x, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"], reverse=False)
-    bwd = _gru_dir(x, p["w_ih_r"], p["w_hh_r"], p["b_ih_r"], p["b_hh_r"], reverse=True)
+    h0 = jnp.zeros((2, x.shape[0], hdim), x.dtype)
+    _, ys = jax.lax.scan(step, h0, xg.transpose(2, 0, 1, 3))  # (T,2,B,H)
+    fwd = ys[:, 0].transpose(1, 0, 2)
+    bwd = jnp.flip(ys[:, 1].transpose(1, 0, 2), axis=1)
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 

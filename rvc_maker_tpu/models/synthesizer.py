@@ -396,14 +396,9 @@ def _fold_enabled(dtype) -> bool:
     on the C=32 stage on the target chip, exact up to accumulation
     order), off in fp32 parity mode to keep the ≤1e-3 waveform budget
     untouched.  RVC_TPU_FOLD=0 disables, =1 forces (also fp32)."""
-    import os
+    from ..ops.folded_conv import fold_enabled
 
-    v = os.environ.get("RVC_TPU_FOLD", "")
-    if v == "0":
-        return False
-    if v == "1":
-        return True
-    return dtype == jnp.bfloat16
+    return fold_enabled(dtype)
 
 
 def _resblock_group(p: Params, x, indices, *, kernels, dilations,

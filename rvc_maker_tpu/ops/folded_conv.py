@@ -31,12 +31,25 @@ already tiles well, just at full lane width.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .nn import conv1d, leaky_relu, LRELU_SLOPE
+
+
+def fold_enabled(dtype) -> bool:
+    """Folding is on by default in bf16 fast mode, off in fp32 parity
+    mode (exact op but different accumulation order).  RVC_TPU_FOLD=0
+    disables, =1 forces (also fp32)."""
+    v = os.environ.get("RVC_TPU_FOLD", "")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return dtype == jnp.bfloat16
 
 
 @functools.lru_cache(maxsize=None)
