@@ -176,15 +176,26 @@ def decode_cents(salience, thred: float = 0.03):
     """Vectorized local-average-cents decode (reference RMVPE.py:236-252).
 
     salience: (B, T, 360). Returns f0 (B, T) Hz with 0 = unvoiced.
-    """
+
+    TPU note: gather-free.  The reference gathers a 9-wide window around
+    the argmax; dynamic gathers along the minor (lane) axis serialize
+    badly on TPU, so instead the window sums are computed for EVERY
+    class with 9 static shifted slices and the argmax one is selected
+    by a one-hot multiply — same terms in the same order, exact."""
     center = jnp.argmax(salience, axis=-1)                    # (B, T)
     pad = jnp.pad(salience, ((0, 0), (0, 0), (4, 4)))
     cmap = jnp.asarray(np.pad(CENTS_MAPPING, (4, 4)).astype(np.float32))
 
-    idx = center[..., None] + jnp.arange(9)[None, None, :]    # padded coords
-    win = jnp.take_along_axis(pad, idx, axis=-1)              # (B, T, 9)
-    cwin = cmap[idx]
-    cents = jnp.sum(win * cwin, axis=-1) / jnp.sum(win, axis=-1)
+    n = salience.shape[-1]
+    s_sum = 0.0
+    sc_sum = 0.0
+    for j in range(9):
+        sl = pad[..., j : j + n]
+        s_sum = s_sum + sl
+        sc_sum = sc_sum + sl * cmap[j : j + n]
+    onehot = jax.nn.one_hot(center, n, dtype=salience.dtype)
+    cents = (jnp.sum(onehot * sc_sum, axis=-1)
+             / jnp.sum(onehot * s_sum, axis=-1))
     cents = jnp.where(jnp.max(salience, axis=-1) > thred, cents, 0.0)
     f0 = 10.0 * jnp.power(2.0, cents / 1200.0)
     return jnp.where(f0 == 10.0, 0.0, f0)
