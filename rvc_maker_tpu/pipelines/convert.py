@@ -161,8 +161,8 @@ class ConvertPipeline:
     # each stage compiles alone (minutes faster on the remote-compile
     # tunnel) and is reused across setting variants independently.
 
-    def _stage_f0(self, f0_method: str):
-        key = ("f0", f0_method)
+    def _f0_raw(self, f0_method: str):
+        key = ("f0_raw", f0_method)
         if key not in self._step_cache:
             if (f0_method in ("rmvpe", "rmvpe-legacy")
                     and hasattr(self.rmvpe_params, "input_names")):
@@ -234,11 +234,17 @@ class ConvertPipeline:
                     f0 = shift_f0(f0, pitch_shift)
                     return jnp.where(autotune_strength > 0,
                                      autotune_f0(f0, autotune_strength), f0)
-            self._step_cache[key] = jax.jit(f0_fn)
+            self._step_cache[key] = f0_fn
         return self._step_cache[key]
 
-    def _stage_features(self, use_index: bool):
-        key = ("feat", use_index)
+    def _stage_f0(self, f0_method: str):
+        key = ("f0", f0_method)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(self._f0_raw(f0_method))
+        return self._step_cache[key]
+
+    def _features_raw(self, use_index: bool):
+        key = ("feat_raw", use_index)
         if key not in self._step_cache:
             version = self.version
             cdtype = self.compute_dtype
@@ -265,16 +271,24 @@ class ConvertPipeline:
                     feats = retrieval_blend(feats, index_vectors, index_rate)
                 return interp_nearest_x2(feats), interp_nearest_x2(feats0)
 
-            jitted = jax.jit(feat_fn)
-            if onnx_emb is not None:
+            self._step_cache[key] = feat_fn
+        return self._step_cache[key]
+
+    def _stage_features(self, use_index: bool):
+        key = ("feat", use_index)
+        if key not in self._step_cache:
+            jitted = jax.jit(self._features_raw(use_index))
+            if hasattr(self.hubert_params, "graph"):
+                # the OnnxEmbedder is closed over, not traceable — swap
+                # the params argument for an empty pytree
                 self._step_cache[key] = (
                     lambda _hp, *a: jitted(None, *a))
             else:
                 self._step_cache[key] = jitted
         return self._step_cache[key]
 
-    def _stage_synth(self):
-        key = ("synth",)
+    def _synth_raw(self):
+        key = ("synth_raw",)
         if key not in self._step_cache:
             cfg = self.cfg
             cdtype = self.compute_dtype or jnp.float32
@@ -326,14 +340,53 @@ class ConvertPipeline:
                                       use_pallas=self.use_pallas)
                 return wav[:, :, 0].astype(jnp.float32), pitchf
 
-            jitted = jax.jit(synth_fn)
-            if onnx_vm is not None:
+            self._step_cache[key] = synth_fn
+        return self._step_cache[key]
+
+    def _stage_synth(self):
+        key = ("synth",)
+        if key not in self._step_cache:
+            jitted = jax.jit(self._synth_raw())
+            if hasattr(self.synth_params, "graph"):
                 # the OnnxVoiceModel is closed over, not traceable — swap
                 # the params argument for an empty pytree
                 self._step_cache[key] = (
                     lambda _sp, *a: jitted(None, *a))
             else:
                 self._step_cache[key] = jitted
+        return self._step_cache[key]
+
+    def _stage_fused(self, f0_method: str, use_index: bool):
+        """All three stages composed into ONE jitted program.
+
+        Dispatching through the tunneled backend costs far more than the
+        stage boundaries save: the fenced per-stage profile reads
+        ~660 ms device-side per 16-microbatch while the true fori_loop
+        compute is ~350 ms — the rest is per-call dispatch/sync latency
+        (3 stage calls + the eager slicing ops between them).  One
+        program per microbatch removes all internal round-trips; the
+        persistent compilation cache amortizes the bigger compile.
+
+        The staged path remains for host-side F0 methods, --f0-file and
+        RVC_TPU_PROFILE=1 (per-stage fenced timings)."""
+        key = ("fused", f0_method, use_index)
+        if key not in self._step_cache:
+            f0_fn = self._f0_raw(f0_method)
+            feat_fn = self._features_raw(use_index)
+            synth_fn = self._synth_raw()
+
+            def fused(synth_params, hubert_params, index_vectors,
+                      rmvpe_params, audio, lengths, pitch,
+                      autotune_strength, index_rate, sid, protect, rng):
+                f0 = f0_fn(rmvpe_params, audio, pitch, autotune_strength)
+                feats, feats0 = feat_fn(hubert_params, index_vectors,
+                                        audio, lengths, index_rate)
+                p_len = min(audio.shape[1] // WINDOW, feats.shape[1])
+                return synth_fn(synth_params, feats[:, :p_len],
+                                feats0[:, :p_len], f0[:, :p_len], lengths,
+                                sid, protect, rng)
+
+            self._step_cache[key] = jax.jit(fused)
         return self._step_cache[key]
 
     # -- host-side F0 methods (native C++ WORLD-style, hybrid) -----------
@@ -482,10 +535,30 @@ class ConvertPipeline:
         from ..utils.profiling import profiling_enabled, stage_timer
 
         prof = profiling_enabled()  # RVC_TPU_PROFILE=1: fenced timings
+        device_f0 = settings.f0_method in ("rmvpe", "rmvpe-legacy", "yin",
+                                           "fcpe", "fcpe-legacy")
+        if device_f0 and not settings.f0_file and not prof:
+            # hot path: ONE dispatch for f0+features+synth (see
+            # _stage_fused) — graph-valued param trees swap to None
+            # exactly like the staged wrappers do
+            sp = (None if hasattr(self.synth_params, "graph")
+                  else self.synth_params)
+            hp = (None if hasattr(self.hubert_params, "graph")
+                  else self.hubert_params)
+            rp = (None if hasattr(self.rmvpe_params, "input_names")
+                  else self.rmvpe_params)
+            return self._stage_fused(settings.f0_method, use_index)(
+                sp, hp, self.index_vectors if use_index else dummy_index,
+                rp, audio, lengths_d, jnp.float32(settings.pitch),
+                jnp.float32(settings.f0_autotune_strength
+                            if settings.f0_autotune else 0.0),
+                jnp.float32(settings.index_rate),
+                jnp.full((b,), sid, jnp.int32),
+                jnp.float32(settings.protect), rng)
+
         with stage_timer(f"f0:{settings.f0_method}") if prof \
                 else contextlib.nullcontext() as tm:
-            if settings.f0_method in ("rmvpe", "rmvpe-legacy", "yin",
-                                      "fcpe", "fcpe-legacy"):
+            if device_f0:
                 f0 = self._stage_f0(settings.f0_method)(
                     self.rmvpe_params, audio, jnp.float32(settings.pitch),
                     jnp.float32(settings.f0_autotune_strength
