@@ -1,5 +1,6 @@
 """fori_loop micro-profiler for the convert hot path (docs/perf_notes.md recipe)."""
 import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rvc_tpu_jax_cache")
 import jax, numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -17,9 +18,9 @@ def timeit(name, fn, *args):
     @jax.jit
     def loop(x0, *rest):
         def body(i, acc):
-            dep = (0 * jnp.sum(acc)).astype(x0.dtype)
+            dep = (0 * acc).astype(x0.dtype)
             return jnp.sum(fn(x0 + dep, *rest)).astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.sum(fn(x0, *rest)).astype(jnp.float32))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
     r = loop(x0, *rest); jax.block_until_ready(r)
     t0 = time.time(); r = loop(x0, *rest); jax.block_until_ready(r)
@@ -31,7 +32,6 @@ def main():
     from rvc_maker_tpu.models import rmvpe as rmvpe_mod
     from rvc_maker_tpu.models import hubert as hubert_mod
     from rvc_maker_tpu.retrieval.index import retrieval_blend
-    sys.path.insert(0, "/root/repo")
     from bench import _random_rmvpe
 
     bf16 = jnp.bfloat16
@@ -96,7 +96,7 @@ def main():
                feats)
         m_p, logs_p, x_mask = syn.text_encoder(sp["enc_p"], cfg, feats, pitch, lens)
         g = jnp.zeros((B3, 1, cfg.gin_channels), bf16)
-        z_p = (m_p + jnp.exp(logs_p) * zn.transpose(0, 2, 1) * 0.66666).astype(bf16)
+        z_p = ((m_p + jnp.exp(logs_p) * zn * 0.66666) * x_mask).astype(bf16)
         timeit("syn.flow reverse (B=16,T=1000)",
                lambda z: syn.flow(sp["flow"], z, x_mask, g, reverse=True), z_p)
         z = syn.flow(sp["flow"], z_p, x_mask, g, reverse=True)

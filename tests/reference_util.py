@@ -64,6 +64,51 @@ def _install_shims():
         sys.modules["librosa.sequence"] = lib.sequence
 
 
+def ref_classes_from_source(rel_path: str, class_names: tuple,
+                            extra_globals: dict | None = None) -> dict:
+    """Exec selected class definitions from a reference source file.
+
+    Some reference files (main/inference/train.py) parse argv at module
+    level, so they cannot be imported; this extracts the named ClassDef
+    nodes with ast and runs the reference's *own* code in a namespace
+    seeded with the globals those classes need.  Returns {name: class}.
+    """
+    import ast
+    import os
+
+    src_path = os.path.join(REFERENCE_ROOT, rel_path)
+    with open(src_path) as f:
+        tree = ast.parse(f.read())
+    wanted = [n for n in tree.body
+              if isinstance(n, ast.ClassDef) and n.name in class_names]
+    missing = set(class_names) - {n.name for n in wanted}
+    assert not missing, f"classes not found in {rel_path}: {missing}"
+    ns: dict = dict(extra_globals or {})
+    code = compile(ast.Module(body=wanted, type_ignores=[]), src_path, "exec")
+    exec(code, ns)
+    return {name: ns[name] for name in class_names}
+
+
+def ref_train_discriminators():
+    """The reference MultiPeriodDiscriminator family (train.py:608-674),
+    executed from the reference source (train.py itself is unimportable:
+    module-level argparse at train.py:102)."""
+    import torch
+    from torch.nn import functional as F
+    from torch.utils.checkpoint import checkpoint
+    from torch.nn.utils.parametrizations import spectral_norm, weight_norm
+
+    commons = ref_module("main.library.algorithm.commons")
+    residuals = ref_module("main.library.algorithm.residuals")
+    return ref_classes_from_source(
+        "main/inference/train.py",
+        ("MultiPeriodDiscriminator", "DiscriminatorS", "DiscriminatorP"),
+        {"torch": torch, "F": F, "checkpoint": checkpoint,
+         "spectral_norm": spectral_norm, "weight_norm": weight_norm,
+         "get_padding": commons.get_padding,
+         "LRELU_SLOPE": residuals.LRELU_SLOPE})
+
+
 def ref_module(name: str):
     """Import a module from the reference tree, e.g.
     ref_module('main.library.algorithm.synthesizers')."""
