@@ -56,6 +56,10 @@ def _load():
         lib.worldlike_stonemask.argtypes = [dbl_p, ctypes.c_int,
                                             ctypes.c_double, dbl_p, dbl_p,
                                             ctypes.c_int, dbl_p]
+        lib.worldlike_harvest.restype = None
+        lib.worldlike_harvest.argtypes = [dbl_p, ctypes.c_int, ctypes.c_double,
+                                          ctypes.c_double, ctypes.c_double,
+                                          ctypes.c_double, dbl_p, dbl_p]
         lib.resample_out_len.restype = ctypes.c_longlong
         lib.resample_out_len.argtypes = [ctypes.c_longlong, ctypes.c_longlong,
                                          ctypes.c_longlong]
@@ -123,14 +127,26 @@ def stonemask(x: np.ndarray, fs: int, time_axis: np.ndarray,
 
 def harvest(x: np.ndarray, fs: int, *, f0_floor: float = 50.0,
             f0_ceil: float = 1100.0, frame_period: float = 10.0):
-    """Harvest-quality path: dio candidates + stonemask refinement.
-    (The reference routes `harvest` to the WORLD binary's Harvest; our
-    native path reaches comparable contours via dio+stonemask, which the
-    reference applies on top of both dio and harvest anyway,
-    convert.py:257-270.)"""
-    f0, t = dio(x, fs, f0_floor=f0_floor, f0_ceil=f0_ceil,
-                frame_period=frame_period)
-    return stonemask(x, fs, t, f0), t
+    """Harvest F0 estimation (reference PYWORLD.harvest,
+    WORLD_WRAPPER.py:32-54): dense 1/12-octave band-passed candidate
+    contours, four-event agreement, instantaneous-frequency refinement,
+    fixed-point contour correction at a 1 ms internal frame period, and
+    zero-phase smoothing — per Morise's Harvest (INTERSPEECH 2017).
+    Our own C++ implementation (native/src/worldlike.cpp
+    worldlike_harvest), materially more dropout-robust than dio on
+    noisy/low-pitch speech (tests/test_native.py).
+    Returns (f0 (T,), time_axis (T,))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    x = np.ascontiguousarray(x, np.float64)
+    n_frames = lib.worldlike_num_frames(len(x), float(fs), float(frame_period))
+    t = np.zeros(n_frames, np.float64)
+    f0 = np.zeros(n_frames, np.float64)
+    lib.worldlike_harvest(_dptr(x), len(x), float(fs), float(f0_floor),
+                          float(f0_ceil), float(frame_period), _dptr(t),
+                          _dptr(f0))
+    return f0, t
 
 
 def flac_decode(data: bytes) -> tuple[np.ndarray, int]:

