@@ -104,7 +104,16 @@ def cmd_index(args):
     out = os.path.join(args.exp_dir, f"added_{os.path.basename(args.exp_dir)}_{args.version}.index.npz")
     save_index(index, out)
     np.save(os.path.join(args.exp_dir, "total_fea.npy"), index.vectors)
-    print(f"index: {index.vectors.shape} -> {out}")
+    # faiss-compatible IVF-Flat file so reference-toolchain users can load
+    # our index (reference create_index.py:66-83 layout: nlist =
+    # min(16*sqrt(N), N/39), nprobe 1)
+    from .retrieval.ivf import build_ivf_file
+
+    fa = os.path.join(
+        args.exp_dir,
+        f"added_{os.path.basename(args.exp_dir)}_{args.version}.index")
+    build_ivf_file(index.vectors, fa)
+    print(f"index: {index.vectors.shape} -> {out} + {fa}")
 
 
 def cmd_train(args):

@@ -148,9 +148,19 @@ def save_index(index: FeatureIndex, path: str) -> None:
 
 
 def load_index(path: str) -> FeatureIndex:
-    """Load our .npz or a reference total_fea.npy dense matrix."""
+    """Load our .npz, a faiss `.index` file (the format every existing
+    RVC user's `added_*.index` is in — reference convert.py:394-395 reads
+    it with faiss.read_index + reconstruct_n), or a reference
+    total_fea.npy dense matrix."""
     if path.endswith(".npy"):
         vec = np.load(path).astype(np.float32)
+        return FeatureIndex(vectors=vec,
+                            version="v1" if vec.shape[1] == 256 else "v2")
+    if path.endswith(".index"):
+        from .faiss_io import read_index
+
+        idx = read_index(path)
+        vec = idx.reconstruct_n()
         return FeatureIndex(vectors=vec,
                             version="v1" if vec.shape[1] == 256 else "v2")
     data = np.load(path, allow_pickle=False)
