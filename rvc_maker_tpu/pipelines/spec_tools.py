@@ -929,6 +929,48 @@ def check_if_phase_inverted(wav1: np.ndarray, wav2: np.ndarray,
 
 
 # --------------------------------------------------------------- alignment
+#
+# Same capability as the reference aligner (spec_utils.py:638-852) but in
+# this codebase's own structure: module-level lag/gain helpers, a channel
+# view loop instead of duplicated mono/stereo branches, and an explicit
+# progress relay object.  Numerics are unchanged (exact parity asserted
+# in tests/test_spec_tools.py::test_time_correction_parity).
+
+_SR_ALIGN = 44100
+
+
+def _db_gain(db: float) -> float:
+    return 10.0 ** (db / 20.0)
+
+
+def _xcorr_lag(a: np.ndarray, b: np.ndarray) -> int:
+    """Signed lag (samples) that best aligns b onto a (full
+    cross-correlation peak)."""
+    return int(np.correlate(a, b, "full").argmax()) - (b.shape[0] - 1)
+
+
+def _delay(wav: np.ndarray, lag: int) -> np.ndarray:
+    """Apply a signed lag along time axis 0: positive prepends silence,
+    negative drops leading samples."""
+    if lag > 0:
+        return np.append(np.zeros((lag,) + wav.shape[1:], dtype=wav.dtype),
+                         wav, axis=0)
+    return wav[-lag:] if lag < 0 else wav
+
+
+class _AlignProgress:
+    """Relays window-loop progress into the UI callback as a saturating
+    fraction in [0.1, 1.0)."""
+
+    def __init__(self, cb):
+        self.cb = cb
+        self.ticks = 0
+
+    def tick(self, expected_total: int) -> None:
+        self.ticks += 1
+        denom = max(expected_total, self.ticks + 1)
+        if self.cb is not None:
+            self.cb(0.1, 0.9 * self.ticks / denom)
 
 
 def align_audio(file1: str, file2: str, file2_aligned: str,
@@ -938,131 +980,104 @@ def align_audio(file1: str, file2: str, file2_aligned: str,
                 db_analysis: tuple, set_progress_bar, phase_option: str,
                 phase_shifts, is_match_silence: bool,
                 is_spec_match: bool) -> None:
-    """Time-align file2 against file1 and write the aligned + subtracted
-    results (spec_utils.py:638-739)."""
-    progress = {"value": 0}
-
-    def get_diff(a, b):
-        return np.correlate(a, b, "full").argmax() - (b.shape[0] - 1)
-
-    def progress_bar(length):
-        progress["value"] += 1
-        if (0.90 / length * progress["value"]) >= 0.9:
-            length = progress["value"] + 1
-        if set_progress_bar is not None:
-            set_progress_bar(0.1, (0.9 / length * progress["value"]))
-
-    if command_Text is None:
-        command_Text = lambda *_: None  # noqa: E731
+    """Time-align file2 against file1, write the aligned take and the
+    subtraction residual (capability of spec_utils.py:638-739)."""
+    emit = command_Text if command_Text is not None else (lambda *_: None)
+    progress = _AlignProgress(set_progress_bar)
 
     wav1 = load_audio_maybe_mono(file1)
     wav2 = load_audio_maybe_mono(file2)
-    sr1 = 44100
-    is_mono = False
-    if wav1.ndim == 1 and wav2.ndim == 1:
-        is_mono = True
-    elif wav1.ndim == 1:
-        wav1 = np.asfortranarray([wav1, wav1])
-    elif wav2.ndim == 1:
-        wav2 = np.asfortranarray([wav2, wav2])
+    is_mono = wav1.ndim == 1 and wav2.ndim == 1
+    if not is_mono:
+        if wav1.ndim == 1:
+            wav1 = np.asfortranarray([wav1, wav1])
+        if wav2.ndim == 1:
+            wav2 = np.asfortranarray([wav2, wav2])
 
     if phase_option == AUTO_PHASE:
         if check_if_phase_inverted(wav1, wav2, is_mono=is_mono):
             wav2 = -wav2
-    elif phase_option == POSITIVE_PHASE:
-        wav2 = +wav2
     elif phase_option == NEGATIVE_PHASE:
         wav2 = -wav2
 
     if is_match_silence:
         wav2 = adjust_leading_silence(wav2, wav1)
 
-    wav1_length = int((wav1.shape[-1]) / 44100)
-    wav2_length = int((wav2.shape[-1]) / 44100)
+    seconds = min(wav1.shape[-1], wav2.shape[-1]) // _SR_ALIGN
     if not is_mono:
-        wav1 = wav1.transpose()
+        wav1 = wav1.transpose()     # (T, C)
         wav2 = wav2.transpose()
-    wav2_org = wav2.copy()
 
-    command_Text("processing files...\n")
-    seconds_length = min(wav1_length, wav2_length)
-    wav2_aligned_sources = []
-    for sec_len in align_intro_val:
-        sec_seg = 1 if sec_len == 1 else int(seconds_length // sec_len)
-        index = sr1 * sec_seg
-        if is_mono:
-            samp1, samp2 = wav1[index:index + sr1], wav2[index:index + sr1]
-            diff = get_diff(samp1, samp2)
-        else:
-            samp1 = wav1[index:index + sr1, 0]
-            samp2 = wav2[index:index + sr1, 0]
-            diff = get_diff(samp1, samp2)
-        if diff > 0:
-            wav2_aligned = np.append(
-                np.zeros(diff) if is_mono else np.zeros((diff, 2)),
-                wav2_org, axis=0)
-        elif diff < 0:
-            wav2_aligned = wav2_org[-diff:]
-        else:
-            wav2_aligned = wav2_org
-        if not any(np.array_equal(wav2_aligned, source)
-                   for source in wav2_aligned_sources):
-            wav2_aligned_sources.append(wav2_aligned)
+    emit("processing files...\n")
 
-    unique_sources = len(wav2_aligned_sources)
-    sub_mapper = {}
-    for s in wav2_aligned_sources:
-        wav2_aligned = (match_mono_array_shapes(s, wav1) if is_mono
-                        else match_array_shapes(s, wav1, is_swap=True))
+    # coarse pass: probe the cross-correlation lag at several points of
+    # the track and keep each distinct shifted take as a candidate
+    candidates: list[np.ndarray] = []
+    for divisor in align_intro_val:
+        probe = _SR_ALIGN * (1 if divisor == 1 else int(seconds // divisor))
+        ref_seg = wav1[probe:probe + _SR_ALIGN]
+        tgt_seg = wav2[probe:probe + _SR_ALIGN]
+        if not is_mono:
+            ref_seg, tgt_seg = ref_seg[:, 0], tgt_seg[:, 0]
+        shifted = _delay(wav2, _xcorr_lag(ref_seg, tgt_seg))
+        if not any(np.array_equal(shifted, c) for c in candidates):
+            candidates.append(shifted)
+
+    # fine pass per candidate; residuals keyed by mean level so
+    # identical-quality duplicates collapse
+    residuals: dict[float, np.ndarray] = {}
+    for cand in candidates:
+        cand = (match_mono_array_shapes(cand, wav1) if is_mono
+                else match_array_shapes(cand, wav1, is_swap=True))
         if align_window:
-            wav_sub = time_correction(
-                wav1, wav2_aligned, seconds_length,
-                align_window=align_window, db_analysis=db_analysis,
-                progress_bar=progress_bar, unique_sources=unique_sources,
-                phase_shifts=phase_shifts)
-            sub_mapper[np.abs(wav_sub).mean()] = wav_sub
+            sub = time_correction(
+                wav1, cand, seconds, align_window=align_window,
+                db_analysis=db_analysis, progress_bar=progress.tick,
+                unique_sources=len(candidates), phase_shifts=phase_shifts)
+            residuals[float(np.abs(sub).mean())] = sub
         else:
-            wav2_gained = wav2_aligned * np.power(10, db_analysis[0] / 20)
-            for db_adjustment in db_analysis[1]:
-                wav_sub = wav1 - (wav2_gained * (10 ** (db_adjustment / 20)))
-                sub_mapper[np.abs(wav_sub).mean()] = wav_sub
+            pre = cand * _db_gain(db_analysis[0])
+            for db_adj in db_analysis[1]:
+                sub = wav1 - pre * _db_gain(db_adj)
+                residuals[float(np.abs(sub).mean())] = sub
 
-    wav_sub = (ensemble_for_align(list(sub_mapper.values()))
-               if is_spec_match and len(sub_mapper) >= 2
-               else ensemble_wav(list(sub_mapper.values())))
+    subs = list(residuals.values())
+    wav_sub = (ensemble_for_align(subs)
+               if is_spec_match and len(subs) >= 2 else ensemble_wav(subs))
     wav_sub = np.clip(wav_sub, -1, +1)
 
-    command_Text("saving instrumental...\n")
+    emit("saving instrumental...\n")
     if is_save_aligned or is_spec_match:
         wav1m = (match_mono_array_shapes(wav1, wav_sub) if is_mono
                  else match_array_shapes(wav1, wav_sub, is_swap=True))
-        wav2_aligned = wav1m - wav_sub
+        aligned = wav1m - wav_sub
         if is_spec_match:
             if wav1m.ndim == 1:
-                wav2_aligned = np.asfortranarray(
-                    [wav2_aligned, wav2_aligned]).T
+                aligned = np.asfortranarray([aligned, aligned]).T
                 wav1m = np.asfortranarray([wav1m, wav1m]).T
-            wav2_aligned = ensemble_for_align([wav2_aligned, wav1m])
-            wav_sub = wav1m - wav2_aligned
+            aligned = ensemble_for_align([aligned, wav1m])
+            wav_sub = wav1m - aligned
         if is_save_aligned:
-            _write_out(file2_aligned, wav2_aligned, sr1, wav_type_set)
+            _write_out(file2_aligned, aligned, _SR_ALIGN, wav_type_set)
             if save_format is not None:
                 save_format(file2_aligned)
 
-    _write_out(file_subtracted, wav_sub, sr1, wav_type_set)
+    _write_out(file_subtracted, wav_sub, _SR_ALIGN, wav_type_set)
     if save_format is not None:
         save_format(file_subtracted)
 
 
 def phase_shift_hilbert(signal: np.ndarray, degree: float) -> np.ndarray:
-    """(spec_utils.py:738-740)."""
+    """Constant phase rotation via the analytic signal
+    (spec_utils.py:738-740)."""
     analytic_signal = hilbert(signal)
     return (np.cos(np.radians(degree)) * analytic_signal.real
             - np.sin(np.radians(degree)) * analytic_signal.imag)
 
 
 def get_phase_shifted_tracks(track: np.ndarray, phase_shift: int) -> list:
-    """(spec_utils.py:742-753)."""
+    """Track + its phase rotations every `phase_shift` degrees
+    (spec_utils.py:742-753)."""
     if phase_shift == 180:
         return [track, -track]
     step = phase_shift
@@ -1075,111 +1090,85 @@ def get_phase_shifted_tracks(track: np.ndarray, phase_shift: int) -> list:
     return flipped_list
 
 
+def _realign_window(ref_win: np.ndarray, tgt_win: np.ndarray,
+                    db_analysis: tuple, phase_shifts) -> np.ndarray:
+    """Best gain/phase/lag variant of tgt_win against ref_win.
+
+    Every phase variant x trim-gain step is lag-corrected at the full
+    cross-correlation peak; the variant with the smallest mean absolute
+    residual wins (semantics of spec_utils.py:757-771)."""
+    pre = tgt_win * _db_gain(db_analysis[0])
+    variants = ([pre] if phase_shifts == 190
+                else get_phase_shifted_tracks(pre, phase_shifts))
+    best, best_err = None, np.inf
+    for db_adj in db_analysis[1]:
+        for v in variants:
+            cand = v * _db_gain(db_adj)
+            lag = (int(np.argmax(np.abs(correlate(ref_win, cand))))
+                   - (len(ref_win) - 1))
+            rolled = np.roll(cand, shift=lag)
+            err = np.abs(ref_win - rolled).mean()
+            if err < best_err:
+                best, best_err = rolled, err
+    return best
+
+
 def time_correction(mix: np.ndarray, instrumental: np.ndarray,
                     seconds_length: int, align_window: list,
                     db_analysis: tuple, sr: int = 44100,
                     progress_bar=None, unique_sources=None,
                     phase_shifts=NONE_P) -> np.ndarray:
-    """Windowed cross-correlation re-alignment of instrumental against
-    mix (spec_utils.py:755-819)."""
-
-    def align_tracks(track1, track2):
-        shifted_tracks = {}
-        track2 = track2 * np.power(10, db_analysis[0] / 20)
-        track2_flipped = ([track2] if phase_shifts == 190
-                          else get_phase_shifted_tracks(track2, phase_shifts))
-        for db_adjustment in db_analysis[1]:
-            for t in track2_flipped:
-                track2_adjusted = t * (10 ** (db_adjustment / 20))
-                track2_shifted = np.roll(
-                    track2_adjusted,
-                    shift=np.argmax(np.abs(correlate(track1,
-                                                     track2_adjusted)))
-                    - (len(track1) - 1))
-                shifted_tracks[np.abs(track1 - track2_shifted).mean()] = \
-                    track2_shifted
-        return shifted_tracks[min(shifted_tracks.keys())]
-
+    """Windowed overlap-add re-alignment of instrumental against mix
+    (capability of spec_utils.py:755-819): per window the best
+    gain/phase/lag variant is subtracted, passes over every window size
+    in align_window are ensembled piecewise."""
     assert mix.shape == instrumental.shape, \
         f"shape mismatch: {mix.shape} vs {instrumental.shape}"
-    seconds_length = seconds_length // 2
 
-    progress_update_interval = 120
-    total_iterations = 0
-    if len(align_window) > 2:
-        progress_update_interval = 320
-    for secs in align_window:
-        window_size = int(sr * secs)
-        step_size = int(sr * secs / 2)
-        if len(mix.shape) == 1:
-            total_iterations += ((len(range(0, len(mix) - window_size,
-                                            step_size))
-                                  // progress_update_interval)
-                                 * (unique_sources or 1))
-        else:
-            total_iterations += ((len(range(0, len(mix[:, 0]) - window_size,
-                                            step_size)) * 2
-                                  // progress_update_interval)
-                                 * (unique_sources or 1))
+    channels = [None] if mix.ndim == 1 else list(range(mix.shape[1]))
+    tick_every = 320 if len(align_window) > 2 else 120
+    expected_windows = sum(
+        len(range(0, mix.shape[0] - int(sr * secs), int(sr * secs) // 2))
+        for secs in align_window) * len(channels)
+    expected_ticks = (expected_windows // tick_every) * (unique_sources or 1)
 
-    sub_mapper = {}
+    windows_done = 0
+    results: dict[float, np.ndarray] = {}
     for secs in align_window:
+        win = int(sr * secs)
+        step = win // 2
+        taper = np.hanning(win)
         sub = np.zeros_like(mix)
-        divider = np.zeros_like(mix)
-        window_size = int(sr * secs)
-        step_size = int(sr * secs / 2)
-        window = np.hanning(window_size)
-
-        if len(mix.shape) == 1:
-            counter = 0
-            for i in range(0, len(mix) - window_size, step_size):
-                counter += 1
-                if counter % progress_update_interval == 0 \
-                        and progress_bar is not None:
-                    progress_bar(total_iterations)
-                window_mix = mix[i:i + window_size] * window
-                window_instrumental = instrumental[i:i + window_size] * window
-                window_instrumental_aligned = align_tracks(
-                    window_mix, window_instrumental)
-                sub[i:i + window_size] += \
-                    window_mix - window_instrumental_aligned
-                divider[i:i + window_size] += window
-        else:
-            counter = 0
-            for ch in range(mix.shape[1]):
-                for i in range(0, len(mix[:, ch]) - window_size, step_size):
-                    counter += 1
-                    if counter % progress_update_interval == 0 \
-                            and progress_bar is not None:
-                        progress_bar(total_iterations)
-                    window_mix = mix[i:i + window_size, ch] * window
-                    window_instrumental = \
-                        instrumental[i:i + window_size, ch] * window
-                    window_instrumental_aligned = align_tracks(
-                        window_mix, window_instrumental)
-                    sub[i:i + window_size, ch] += \
-                        window_mix - window_instrumental_aligned
-                    divider[i:i + window_size, ch] += window
-
+        norm = np.zeros_like(mix)
+        for ch in channels:
+            view_m = mix if ch is None else mix[:, ch]
+            view_i = instrumental if ch is None else instrumental[:, ch]
+            out_s = sub if ch is None else sub[:, ch]
+            out_n = norm if ch is None else norm[:, ch]
+            for start in range(0, len(view_m) - win, step):
+                windows_done += 1
+                if windows_done % tick_every == 0 and progress_bar is not None:
+                    progress_bar(expected_ticks)
+                wm = view_m[start:start + win] * taper
+                wi = view_i[start:start + win] * taper
+                out_s[start:start + win] += wm - _realign_window(
+                    wm, wi, db_analysis, phase_shifts)
+                out_n[start:start + win] += taper
         with np.errstate(divide="ignore", invalid="ignore"):
-            sub_mapper[np.abs(sub).mean()] = \
-                np.where(divider > 1e-6, sub / divider, sub)
+            results[float(np.abs(sub).mean())] = np.where(
+                norm > 1e-6, sub / norm, sub)
 
-    return ensemble_wav(list(sub_mapper.values()), split_size=12)
+    return ensemble_wav(list(results.values()), split_size=12)
 
 
 def ensemble_wav(waveforms: list, split_size: int = 240) -> np.ndarray:
-    """Piecewise-min-energy ensemble (spec_utils.py:821-827)."""
-    waveform_thirds = {i: np.array_split(waveform, split_size)
-                       for i, waveform in enumerate(waveforms)}
-    final_waveform = []
-    for third_idx in range(split_size):
-        final_waveform.append(
-            waveform_thirds[np.argmin(
-                [np.abs(waveform_thirds[i][third_idx]).mean()
-                 for i in range(len(waveforms))])][third_idx])
-    return np.concatenate(final_waveform)
-
+    """Piecewise min-energy ensemble: cut every waveform into split_size
+    chunks, keep the quietest chunk at each position
+    (spec_utils.py:821-827)."""
+    chunked = [np.array_split(w, split_size) for w in waveforms]
+    picks = [chunked[int(np.argmin([np.abs(c[j]).mean() for c in chunked]))][j]
+             for j in range(split_size)]
+    return np.concatenate(picks)
 
 def ensemble_wav_min(waveforms: list) -> np.ndarray:
     """Sample-wise min-magnitude ensemble (spec_utils.py:829-837)."""
@@ -1195,23 +1184,14 @@ def ensemble_wav_min(waveforms: list) -> np.ndarray:
 
 def align_audio_test(wav1: np.ndarray, wav2: np.ndarray,
                      sr1: int = 44100) -> np.ndarray:
-    """(spec_utils.py:839-852)."""
-
-    def get_diff(a, b):
-        return np.correlate(a, b, "full").argmax() - (b.shape[0] - 1)
-
-    wav1 = wav1.transpose()
-    wav2 = wav2.transpose()
-    wav2_org = wav2.copy()
-    index = sr1
-    diff = get_diff(wav1[index:index + sr1, 0], wav2[index:index + sr1, 0])
-    if diff > 0:
-        wav2_aligned = np.append(np.zeros((diff, 1)), wav2_org, axis=0)
-    elif diff < 0:
-        wav2_aligned = wav2_org[-diff:]
-    else:
-        wav2_aligned = wav2_org
-    return wav2_aligned
+    """Single-probe coarse alignment of wav2 onto wav1 (capability of
+    spec_utils.py:839-852; single-column zero pad on positive lags kept
+    for byte-parity with the reference)."""
+    wav1, wav2 = wav1.transpose(), wav2.transpose()
+    lag = _xcorr_lag(wav1[sr1:2 * sr1, 0], wav2[sr1:2 * sr1, 0])
+    if lag > 0:
+        return np.append(np.zeros((lag, 1)), wav2, axis=0)
+    return wav2[-lag:] if lag < 0 else wav2
 
 
 # ----------------------------------------------------------------- file I/O
