@@ -1,0 +1,216 @@
+"""Multi-host scaling harness (BASELINE config 5).
+
+Measures audio-seconds-converted/s/chip for the flagship synthesizer
+decode path SPMD-sharded over a global mesh spanning N host processes,
+and reports scaling efficiency vs the single-process run.
+
+Runs TODAY on CPU (jax.distributed supports CPU backends) as N localhost
+processes with virtual devices, and unchanged on a TPU pod slice where
+each process is one host (drop --force-cpu; jax.distributed.initialize
+auto-detects via RVC_MULTIHOST=1).
+
+Parent mode (default):
+    python bench_multihost.py --nprocs 2 --devices-per-proc 4
+  spawns the single-process baseline, then the N-process fleet, and
+  prints ONE JSON line:
+    {"metric": "scaling_efficiency", "value": .., "unit": "frac",
+     "nprocs": N, "thr1": .., "thrN": .., "vs_baseline": ../0.85}
+
+Worker mode (RVC_PROCESS_ID env set): joins the rendezvous, runs the
+workload, rank 0 prints its JSON result.
+
+Replaces: reference single-node DDP spawn (train.py:144-178) — there is
+no multi-host path to port; this harness is the reference-absent
+capability the BASELINE demands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def worker(args) -> None:
+    import numpy as np
+
+    import jax
+
+    if os.environ.get("RVC_FORCE_CPU") == "1":
+        # the surrounding environment may pin jax_platforms programmatically
+        # (sitecustomize), overriding JAX_PLATFORMS — force CPU before the
+        # backend initializes (same dance as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from rvc_maker_tpu.config import preset, ModelConfig
+    from rvc_maker_tpu.models import synthesizer as syn
+    from rvc_maker_tpu.parallel import distributed as dist
+
+    dist.ensure_initialized()
+    rank, world = dist.process_index(), dist.process_count()
+    mesh = dist.global_data_mesh()
+    n_dev = len(jax.devices())
+
+    if args.full:
+        cfg = preset("v2", 48000).model
+        t = 1000
+    else:  # tiny config: same code path, CPU-friendly
+        cfg = ModelConfig(
+            spec_channels=129, segment_size=8, inter_channels=32,
+            hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+            kernel_size=3, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4, 2, 2),
+            upsample_initial_channel=32, upsample_kernel_sizes=(8, 8, 4, 4),
+            spk_embed_dim=4, gin_channels=16, sr=16000, use_f0=True,
+            text_enc_hidden_dim=96)
+        t = 200
+
+    params = syn.init_params(jax.random.PRNGKey(0), cfg)
+    params = _replicate_global(params, mesh)
+
+    b_global = args.batch_per_dev * n_dev
+    b_local = b_global // world
+    rs = np.random.RandomState(1000 + rank)
+    local = {
+        "phone": rs.randn(b_local, t, cfg.text_enc_hidden_dim).astype(np.float32),
+        "lengths": np.full((b_local,), t, np.int32),
+        "pitch": rs.randint(1, 256, (b_local, t)).astype(np.int32),
+        "nsff0": (rs.rand(b_local, t) * 200 + 80).astype(np.float32),
+        "sid": np.zeros((b_local,), np.int32),
+        "zn": np.zeros((b_local, t, cfg.inter_channels), np.float32),
+        "sn": np.zeros((b_local, t * cfg.upp, 1), np.float32),
+    }
+    gbatch = dist.shard_host_local(local, mesh)
+
+    import functools
+
+    @functools.partial(jax.jit, out_shardings=None)
+    def step(p, b):
+        wav, _, _ = syn.infer(p, cfg, b["phone"], b["lengths"], b["pitch"],
+                              b["nsff0"], b["sid"], b["zn"], b["sn"])
+        return jnp.sum(jnp.square(wav))
+
+    # compile + warm
+    jax.block_until_ready(step(params, gbatch))
+    dist.sync_global("warm")
+    t0 = time.time()
+    acc = None
+    for _ in range(args.iters):
+        acc = step(params, gbatch)
+    jax.block_until_ready(acc)
+    dt = time.time() - t0
+    audio_sec = args.iters * b_global * t * cfg.upp / cfg.sr
+    thr = audio_sec / dt
+    if rank == 0:
+        print(json.dumps({"thr": thr, "n_dev": n_dev, "world": world,
+                          "thr_per_dev": thr / n_dev}), flush=True)
+
+
+def _replicate_global(tree, mesh):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), tree)
+
+
+def _spawn_fleet(nprocs: int, args, port: int) -> dict:
+    """Launch nprocs workers on localhost, return rank-0's JSON result."""
+    procs = []
+    outs = []
+    for pid in range(nprocs):
+        env = dict(os.environ)
+        env.update({
+            "RVC_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "RVC_NUM_PROCESSES": str(nprocs),
+            "RVC_PROCESS_ID": str(pid),
+        })
+        if args.force_cpu:
+            env["JAX_PLATFORMS"] = "cpu"
+            env["RVC_FORCE_CPU"] = "1"
+            env["XLA_FLAGS"] = (
+                f"--xla_force_host_platform_device_count={args.devices_per_proc} "
+                + env.get("XLA_FLAGS", ""))
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--iters", str(args.iters),
+               "--batch-per-dev", str(args.batch_per_dev)]
+        if args.full:
+            cmd.append("--full")
+        p = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True, cwd=REPO)
+        procs.append(p)
+    result = None
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=900)
+        outs.append((pid, p.returncode, out, err))
+        if p.returncode != 0:
+            for q in procs:
+                q.poll() is None and q.kill()
+            raise RuntimeError(
+                f"worker {pid} failed rc={p.returncode}\n{err[-3000:]}")
+        if pid == 0:
+            for line in out.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    result = json.loads(line)
+    assert result is not None, outs[0][2]
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--batch-per-dev", type=int, default=1)
+    ap.add_argument("--full", action="store_true",
+                    help="full v2/48k model (for real TPU hosts)")
+    ap.add_argument("--no-force-cpu", dest="force_cpu", action="store_false",
+                    help="let workers use the platform default (TPU pod)")
+    args = ap.parse_args()
+
+    if args.worker or os.environ.get("RVC_PROCESS_ID"):
+        worker(args)
+        return
+
+    import socket
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+
+    # control: SAME total device count in one process vs split across
+    # nprocs processes, so on a single machine the efficiency isolates the
+    # multi-controller/collective overhead rather than CPU-core
+    # oversubscription.  On a real pod run each process owns distinct
+    # chips and the same formula measures true scaling.
+    baseline_args = argparse.Namespace(**vars(args))
+    baseline_args.devices_per_proc = args.devices_per_proc * args.nprocs
+    r1 = _spawn_fleet(1, baseline_args, free_port())
+    rN = _spawn_fleet(args.nprocs, args, free_port())
+    eff = rN["thr_per_dev"] / r1["thr_per_dev"]
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "frac",
+        "nprocs": args.nprocs,
+        "devices_per_proc": args.devices_per_proc,
+        "thr1_per_dev": round(r1["thr_per_dev"], 2),
+        "thrN_per_dev": round(rN["thr_per_dev"], 2),
+        "thrN_total": round(rN["thr"], 2),
+        "vs_baseline": round(eff / 0.85, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

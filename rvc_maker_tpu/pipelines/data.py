@@ -106,7 +106,16 @@ def batches_for_epoch(dataset: TrainingDataset, *, batch_size: int,
                       num_replicas: int = 1):
     """Yield Batch pytrees: epoch-seeded shuffle, grouped by length bucket,
     padded to the bucket boundary.  Deterministic given (epoch, seed) —
-    resume-safe (SURVEY.md §5.3)."""
+    resume-safe (SURVEY.md §5.3).
+
+    batch_size is the GLOBAL batch size.  With num_replicas > 1 (one
+    replica per host process), every process walks the SAME job list and
+    yields its rank's row-slice of each global batch; shapes are
+    host-independent (t pinned to the bucket bound) so the slices
+    reassemble into one global jax.Array via
+    parallel.distributed.shard_host_local.  This replaces the reference's
+    DistributedBucketSampler rank sharding (train.py:585)."""
+    assert batch_size % num_replicas == 0, (batch_size, num_replicas)
     rs = np.random.RandomState(seed + epoch)
     order = rs.permutation(len(dataset))
 
@@ -119,14 +128,18 @@ def batches_for_epoch(dataset: TrainingDataset, *, batch_size: int,
         for k in range(0, len(idxs) - batch_size + 1, batch_size):
             jobs.append((b, idxs[k : k + batch_size]))
     rs.shuffle(jobs)
-    jobs = jobs[rank::num_replicas]
 
     hop = dataset.cfg.data.hop_length
     emb = dataset.emb_dim
     spec_ch = dataset.cfg.model.spec_channels
     for bound, idxs in jobs:
+        idxs = idxs[rank::num_replicas]
         items = [dataset.load_item(i) for i in idxs]
-        t = min(bound, max(it["length"] for it in items))
+        if num_replicas > 1:
+            # multi-host: t must not depend on this rank's items
+            t = bound
+        else:
+            t = min(bound, max(it["length"] for it in items))
         t = max(t, dataset.cfg.model.segment_size + 1)
         B = len(items)
         phone = np.zeros((B, t, emb), np.float32)

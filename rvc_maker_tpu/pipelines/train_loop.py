@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 from ..config import RVCConfig
-from ..parallel import data_mesh, replicate, shard_leading
+from ..parallel import data_mesh, replicate
+from ..parallel import distributed as dist_mod
 from . import data as data_mod
 from . import train as train_mod
 
@@ -88,11 +89,14 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     inference weights; overtraining_* mirror train.py:900-953;
     save_every_weights=False exports inference weights only at the end
     (reference --save_every_weights)."""
+    dist_mod.ensure_initialized()
+    rank, world = dist_mod.process_index(), dist_mod.process_count()
+    primary = rank == 0
     if mesh is None:
-        mesh = data_mesh()
+        mesh = data_mesh()   # jax.devices() is global under multi-controller
     n_dev = int(np.prod([d for d in mesh.devices.shape]))
 
-    if cleanup:
+    if cleanup and primary:
         # reference --cleanup (train.py:190-203): wipe old run artifacts
         import shutil
 
@@ -108,7 +112,7 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     logger.info("dataset: %d rows; mesh: %s devices", len(dataset), n_dev)
 
     tb = None
-    if log_writer is None:
+    if log_writer is None and primary:
         from .tb_logging import TensorBoardLogger
 
         tb = TensorBoardLogger(os.path.join(exp_dir, "tb"))
@@ -158,9 +162,9 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
             n_batches = 0
             for batch in data_mod.batches_for_epoch(
                     dataset, batch_size=batch_size * n_dev, epoch=epoch,
-                    seed=cfg.train.seed):
+                    seed=cfg.train.seed, rank=rank, num_replicas=world):
                 rng, step_rng = jax.random.split(rng)
-                batch = shard_leading(batch, mesh)
+                batch = dist_mod.shard_host_local(batch, mesh)
                 state, metrics = step_fn(state, batch, replicate(step_rng, mesh))
                 n_batches += 1
                 step = int(np.asarray(state.step))
@@ -179,10 +183,16 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
             logger.info("epoch %d done (%d batches, %.1fs)", epoch, n_batches,
                         time.time() - t0)
             if epoch % save_every_epoch == 0 or stop["now"] or epoch == total_epochs:
-                save_checkpoint(state, latest)
-                if not save_only_latest:
+                # params are fully replicated, so only the primary writes
+                # (reference rank-0 guard, train.py:919-924); barrier keeps
+                # non-primaries from racing ahead into the next epoch
+                dist_mod.sync_global("pre-save")
+                if primary:
+                    save_checkpoint(state, latest)
+                if primary and not save_only_latest:
                     save_checkpoint(state, os.path.join(exp_dir, f"ckpt_e{epoch}"))
-                if save_every_weights or epoch == total_epochs or stop["now"]:
+                if primary and (save_every_weights or epoch == total_epochs
+                                or stop["now"]):
                     name = model_name or os.path.basename(
                         os.path.normpath(exp_dir))
                     step_n = int(np.asarray(state.step))
@@ -191,9 +201,10 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                         os.path.join(exp_dir,
                                      f"{name}_{epoch}e_{step_n}s.pth"),
                         epoch=epoch, author=author)
-                if tb is not None and n_batches:
+                if primary and tb is not None and n_batches:
                     _log_eval_sample(tb, state, cfg, batch,
                                      int(np.asarray(state.step)))
+                dist_mod.sync_global("post-save")
             if stop["now"]:
                 break
     finally:
