@@ -53,21 +53,26 @@ def available_languages() -> list[str]:
     langs = ["en-US"]
     d = os.path.join(os.path.dirname(__file__), "languages")
     if os.path.isdir(d):
-        langs += [f[:-5] for f in sorted(os.listdir(d)) if f.endswith(".json")]
+        langs += [f[:-5] for f in sorted(os.listdir(d))
+                  if f.endswith(".json") and f[:-5] not in langs]
     return langs
 
 
 def set_language(lang: str) -> None:
+    """Load a locale over the baked-in defaults.  Every locale file
+    (including en-US) covers the reference's full 807-key surface
+    (reference assets/languages/*.json; Config.multi_language
+    configs/config.py:29-46)."""
     global _current, _lang
     _lang = lang
     _current = dict(_EN)
-    if lang != "en-US":
-        path = os.path.join(os.path.dirname(__file__), "languages",
-                            f"{lang}.json")
-        try:
-            with open(path, encoding="utf-8") as f:
-                _current.update(json.load(f))
-        except FileNotFoundError:
+    path = os.path.join(os.path.dirname(__file__), "languages",
+                        f"{lang}.json")
+    try:
+        with open(path, encoding="utf-8") as f:
+            _current.update(json.load(f))
+    except FileNotFoundError:
+        if lang != "en-US":
             logger.warning("no locale file for %s; using English", lang)
 
 
