@@ -41,19 +41,21 @@ def load_audioldm2_stack(model_id: str = "audioldm2-music", device=None):
     """Load the AudioLDM2 checkpoint stack (reference
     library/audioldm2/models.py load_model:321-329).
 
-    Gated: the diffusers checkpoint stack is not present in this image
-    (the reference downloads it from HuggingFace on first use).  Raises
-    a RuntimeError explaining what is needed."""
+    The model stack itself is implemented in JAX (models/audioldm2*.py,
+    edit/stack.py: VAE + CLAP + T5 + GPT2 + projection + dual-stream
+    UNet + vocoder); checkpoints are download-gated like the reference's
+    lazy HF fetch.  A locally-provided diffusers checkpoint directory at
+    assets/models/audioldm2/<model_id> (reference load_model path) is
+    picked up automatically."""
     if model_id not in AUDIOLDM2_MODELS:
         raise ValueError(f"unknown audioldm2 model {model_id!r}; "
                          f"expected one of {AUDIOLDM2_MODELS}")
-    raise RuntimeError(
-        f"The {model_id} diffusion checkpoint stack (VAE + CLAP + T5 + "
-        "GPT2 + UNet) is download-gated: it requires the HuggingFace "
-        "checkpoint and a diffusers-format weight reader, neither of "
-        "which is available offline.  The editing pipeline itself is "
-        "fully functional — pass any object implementing the model-stack "
-        "protocol (see ToyMelStack) as `stack=`.")
+    import os
+
+    from .stack import AudioLDM2Stack
+
+    local_dir = os.path.join("assets", "models", "audioldm2", model_id)
+    return AudioLDM2Stack.load_from_dir(local_dir)
 
 
 # --------------------------------------------------------------- mel tools
