@@ -358,6 +358,109 @@ def decode_window(params: Params, dims: WhisperDims, audio_features,
             "no_speech_prob": no_speech_prob}
 
 
+def _rearrange_cache(cache: DecodeCache, idx) -> DecodeCache:
+    """Reorder the per-beam batch axis (reference
+    whisper.py rearrange_kv_cache in BeamSearchDecoder.update)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    return cache._replace(self_k=cache.self_k[:, idx],
+                          self_v=cache.self_v[:, idx])
+
+
+def beam_decode(params: Params, dims: WhisperDims, audio_features,
+                initial_tokens: list[int], *, eot: int, beam_size: int = 5,
+                patience: float | None = None, max_tokens: int = 224,
+                suppress=None, timestamp_begin: int | None = None,
+                no_speech_token: int | None = None) -> dict:
+    """Beam search over one window (reference BeamSearchDecoder,
+    whisper.py:886-953): per step each beam proposes its top
+    beam_size+1 tokens, candidates are deduped by sequence, EOT
+    candidates retire to the finished pool (capped at
+    round(beam_size*patience)), the best beam_size live sequences carry
+    on with the KV cache rearranged to their source beams.  Final pick =
+    highest sum-logprob / length (MaximumLikelihoodRanker with no
+    length penalty).  audio_features: (1, S, C)."""
+    patience = patience or 1.0
+    max_candidates = int(round(beam_size * patience))
+    assert max_candidates > 0, (beam_size, patience)
+    k = beam_size
+    feats = jnp.repeat(audio_features, k, axis=0)
+    cache = init_cache(params, dims, feats)
+    logits = None
+    no_speech_prob = 0.0
+    for i, t in enumerate(initial_tokens):
+        logits, cache = decode_step(
+            params, dims, jnp.full((k,), t, jnp.int32), cache)
+        if i == 0 and no_speech_token is not None:
+            p = np.asarray(jax.nn.softmax(logits[0]))
+            no_speech_prob = float(p[no_speech_token])
+
+    beams: list[tuple[int, ...]] = [tuple() for _ in range(k)]
+    sum_logprobs = np.zeros(k, np.float64)
+    finished: dict[tuple[int, ...], float] = {}
+
+    for _ in range(max_tokens):
+        lg = np.asarray(logits, np.float64)            # (k, V)
+        if suppress is not None:
+            lg[:, suppress] = -np.inf
+        if timestamp_begin is not None:
+            for j, seq in enumerate(beams):
+                last_ts = [tk for tk in seq if tk >= timestamp_begin]
+                if last_ts:
+                    lg[j, timestamp_begin : last_ts[-1]] = -np.inf
+        logprobs = lg - np.log(np.sum(np.exp(lg - lg.max(axis=1,
+                                                         keepdims=True)),
+                                      axis=1, keepdims=True)) \
+            - lg.max(axis=1, keepdims=True)
+
+        scores: dict[tuple[int, ...], float] = {}
+        sources: dict[tuple[int, ...], int] = {}
+        for j in range(k):
+            top = np.argsort(logprobs[j])[::-1][: k + 1]
+            for tok in top:
+                seq = beams[j] + (int(tok),)
+                scores[seq] = sum_logprobs[j] + float(logprobs[j, tok])
+                sources[seq] = j
+        next_beams, src_idx = [], []
+        new_sum = np.zeros(k, np.float64)
+        for seq in sorted(scores, key=scores.get, reverse=True):
+            if seq[-1] == eot:
+                if len(finished) < max_candidates:
+                    finished[seq[:-1]] = scores[seq]
+            else:
+                new_sum[len(next_beams)] = scores[seq]
+                next_beams.append(seq)
+                src_idx.append(sources[seq])
+                if len(next_beams) == k:
+                    break
+        if len(next_beams) < k:     # degenerate: all candidates EOT
+            break
+        beams, sum_logprobs = next_beams, new_sum
+        cache = _rearrange_cache(cache, src_idx)
+        tok = jnp.asarray([seq[-1] for seq in beams], jnp.int32)
+        logits, cache = decode_step(params, dims, tok, cache)
+        if len(finished) >= max_candidates:
+            break
+
+    if len(finished) < beam_size:   # finalize: append EOT to live beams
+        for j in np.argsort(sum_logprobs)[::-1]:
+            if len(finished) >= beam_size:
+                break
+            finished.setdefault(beams[int(j)], float(sum_logprobs[int(j)]))
+
+    # MaximumLikelihoodRanker (length_penalty None): score / generated
+    # token count (eot excluded — DecodingTask slices it off before
+    # ranking); the reported avg_logprob divides by len+1 like
+    # DecodingTask.run's avg_logprobs
+    def rank(item):
+        seq, score = item
+        return score / max(len(seq), 1)
+
+    best_seq, best_score = max(finished.items(), key=rank)
+    return {"tokens": list(best_seq),
+            "avg_logprob": best_score / (len(best_seq) + 1),
+            "no_speech_prob": no_speech_prob}
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint import
 # ---------------------------------------------------------------------------

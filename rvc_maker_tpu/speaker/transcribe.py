@@ -35,16 +35,38 @@ def decode_with_fallback(params: Any, dims: wmod.WhisperDims,
                          suppress, temperatures: Sequence[float],
                          compression_ratio_threshold: float | None = 2.4,
                          logprob_threshold: float | None = -1.0,
-                         rng=None) -> dict:
+                         rng=None, beam_size: int | None = None,
+                         patience: float | None = None,
+                         best_of: int | None = None) -> dict:
     """Reference whisper.py:329-349: retry at higher temperature while
     the transcript is too repetitive (compression ratio) or too
-    unlikely (avg logprob)."""
+    unlikely (avg logprob).  At temperature 0 a beam_size switches to
+    beam search (+ optional patience); at temperature > 0 a best_of
+    draws that many samples and keeps the most likely (reference
+    DecodingOptions beam_size/patience/best_of, whisper.py:886-960)."""
     result: dict = {}
     for t in temperatures:
-        result = wmod.decode_window(
-            params["decoder"], dims, feats, tok.sot_sequence(), eot=tok.eot,
-            suppress=suppress, timestamp_begin=tok.timestamp_begin,
-            temperature=float(t), rng=rng, no_speech_token=tok.no_speech)
+        if float(t) == 0.0 and beam_size is not None:
+            result = wmod.beam_decode(
+                params["decoder"], dims, feats, tok.sot_sequence(),
+                eot=tok.eot, beam_size=beam_size, patience=patience,
+                suppress=suppress, timestamp_begin=tok.timestamp_begin,
+                no_speech_token=tok.no_speech)
+        elif float(t) > 0.0 and best_of is not None and best_of > 1:
+            tries = [wmod.decode_window(
+                params["decoder"], dims, feats, tok.sot_sequence(),
+                eot=tok.eot, suppress=suppress,
+                timestamp_begin=tok.timestamp_begin, temperature=float(t),
+                rng=rng, no_speech_token=tok.no_speech)
+                for _ in range(best_of)]
+            # MaximumLikelihoodRanker over the independent samples
+            result = max(tries, key=lambda r: r["avg_logprob"])
+        else:
+            result = wmod.decode_window(
+                params["decoder"], dims, feats, tok.sot_sequence(),
+                eot=tok.eot, suppress=suppress,
+                timestamp_begin=tok.timestamp_begin, temperature=float(t),
+                rng=rng, no_speech_token=tok.no_speech)
         result["temperature"] = float(t)
         result["text"] = tok.decode(
             [x for x in result["tokens"] if x < tok.eot]).strip()
@@ -74,6 +96,8 @@ def transcribe(params: Any, dims: wmod.WhisperDims, tok: WhisperTokenizer,
                no_speech_threshold: float | None = 0.6,
                word_timestamps: bool = False,
                alignment_heads: np.ndarray | None = None,
+               beam_size: int | None = None, patience: float | None = None,
+               best_of: int | None = None,
                seed: int = 0) -> list[dict]:
     """audio16k: (L,) -> [{"start", "end", "text", "tokens"[, "words"]}]"""
     suppress = list(tok.non_speech_tokens()) if suppress_non_speech else []
@@ -100,7 +124,8 @@ def transcribe(params: Any, dims: wmod.WhisperDims, tok: WhisperTokenizer,
             params, dims, tok, feats, suppress=suppress,
             temperatures=temperatures,
             compression_ratio_threshold=compression_ratio_threshold,
-            logprob_threshold=logprob_threshold, rng=rng)
+            logprob_threshold=logprob_threshold, rng=rng,
+            beam_size=beam_size, patience=patience, best_of=best_of)
         tokens = result["tokens"]
 
         # no-speech skip (whisper.py:371-376): confident silence AND the
