@@ -49,25 +49,86 @@ def load_checkpoint(path: str, template: train_mod.TrainState):
 
 
 class OvertrainingDetector:
-    """EMA-smoothed generator/discriminator loss watcher
-    (reference train.py:900-953)."""
+    """EMA-smoothed generator AND discriminator loss watcher with JSON
+    persistence (reference train.py:899-953: check_overtraining /
+    update_exponential_moving_average / save_to_json).
+
+    The discriminator runs with twice the generator's patience window
+    and a tighter epsilon (0.004 vs 0.01), exactly like the reference;
+    training stops when either side's consecutive-increase count hits
+    its window size."""
 
     def __init__(self, threshold_g: int = 50, smoothing: float = 0.987):
         self.smoothing = smoothing
-        self.g_history: list[float] = []
-        self.smoothed: Optional[float] = None
         self.threshold_g = threshold_g
+        self.loss_gen_history: list[float] = []
+        self.smoothed_gen: list[float] = []
+        self.loss_disc_history: list[float] = []
+        self.smoothed_disc: list[float] = []
+        self.consecutive_gen = 0
+        self.consecutive_disc = 0
 
-    def update(self, loss_g: float) -> bool:
-        self.smoothed = (loss_g if self.smoothed is None
-                         else self.smoothing * self.smoothed
-                         + (1 - self.smoothing) * loss_g)
-        self.g_history.append(self.smoothed)
-        if len(self.g_history) < self.threshold_g + 1:
+    @staticmethod
+    def _check(history: list[float], threshold: int,
+               epsilon: float) -> bool:
+        """reference check_overtraining (train.py:899-904): any uptick
+        in the window -> overtraining; any real improvement -> fine;
+        a flat window -> overtraining."""
+        if len(history) < threshold + 1:
             return False
-        window = self.g_history[-self.threshold_g:]
-        # overtraining: smoothed loss stopped improving over the window
-        return min(window) > min(self.g_history[: -self.threshold_g]) - 0.004
+        for i in range(-threshold, -1):
+            if history[i + 1] > history[i]:
+                return True
+            if abs(history[i + 1] - history[i]) >= epsilon:
+                return False
+        return True
+
+    def _ema(self, history: list[float], new_value: float) -> float:
+        s = (new_value if not history
+             else self.smoothing * history[-1]
+             + (1 - self.smoothing) * new_value)
+        history.append(s)
+        return s
+
+    def update(self, loss_g: float, loss_d: float) -> bool:
+        self.loss_gen_history.append(float(loss_g))
+        self._ema(self.smoothed_gen, float(loss_g))
+        self.loss_disc_history.append(float(loss_d))
+        self._ema(self.smoothed_disc, float(loss_d))
+        if self._check(self.smoothed_gen, self.threshold_g, 0.01):
+            self.consecutive_gen += 1
+        else:
+            self.consecutive_gen = 0
+        if self._check(self.smoothed_disc, self.threshold_g * 2, 0.004):
+            self.consecutive_disc += 1
+        else:
+            self.consecutive_disc = 0
+        return (self.consecutive_gen == self.threshold_g
+                or self.consecutive_disc == self.threshold_g * 2)
+
+    def save_json(self, path: str) -> None:
+        """reference save_to_json layout (train.py:911-913)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump({"loss_disc_history": self.loss_disc_history,
+                       "smoothed_loss_disc_history": self.smoothed_disc,
+                       "loss_gen_history": self.loss_gen_history,
+                       "smoothed_loss_gen_history": self.smoothed_gen}, f)
+
+    def load_json(self, path: str) -> None:
+        """Resume histories (reference continue_overtrain_detector,
+        train.py:187-190)."""
+        import json
+
+        if not os.path.isfile(path):
+            return
+        with open(path) as f:
+            d = json.load(f)
+        self.loss_disc_history = list(d.get("loss_disc_history", []))
+        self.smoothed_disc = list(d.get("smoothed_loss_disc_history", []))
+        self.loss_gen_history = list(d.get("loss_gen_history", []))
+        self.smoothed_gen = list(d.get("smoothed_loss_gen_history", []))
 
 
 def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
@@ -146,6 +207,8 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
 
     step_fn = train_mod.make_sharded_train_step(cfg, mesh)
     detector = OvertrainingDetector(threshold_g=overtraining_threshold)
+    training_json = os.path.join(exp_dir, "training_data.json")
+    detector.load_json(training_json)   # resume histories (train.py:187-190)
 
     stop = {"now": False}
 
@@ -178,8 +241,18 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                     break
             state = train_mod.decay_lr(state, cfg)
             loss_g = float(np.asarray(metrics["loss_g"])) if n_batches else 0.0
-            if overtraining_detector and detector.update(loss_g):
-                logger.warning("overtraining detected at epoch %d", epoch)
+            loss_d = float(np.asarray(metrics["loss_d"])) if n_batches else 0.0
+            overtrained = (overtraining_detector and epoch > 1
+                           and detector.update(loss_g, loss_d))
+            if overtrained:
+                logger.warning(
+                    "overtraining detected at epoch %d (smoothed G %.3f, "
+                    "smoothed D %.3f)", epoch,
+                    detector.smoothed_gen[-1], detector.smoothed_disc[-1])
+                stop["now"] = True    # reference done=True: save and stop
+            if (overtraining_detector and primary
+                    and epoch % save_every_epoch == 0):
+                detector.save_json(training_json)
             logger.info("epoch %d done (%d batches, %.1fs)", epoch, n_batches,
                         time.time() - t0)
             if epoch % save_every_epoch == 0 or stop["now"] or epoch == total_epochs:

@@ -100,3 +100,74 @@ def test_train_loop_end_to_end(tmp_path, monkeypatch):
     state2 = train(exp, CFG, total_epochs=2, batch_size=2,
                    save_every_epoch=1, mesh=mesh)
     assert int(np.asarray(state2.step)) > step1
+
+
+def test_overtraining_detector_matches_reference_semantics():
+    """G+D EMA histories, window checks (G eps 0.01, D window 2x with
+    eps 0.004), consecutive counters, JSON persistence — semantics of
+    reference train.py:899-953, checked against a direct transcription
+    of its check/update functions."""
+    from rvc_maker_tpu.pipelines.train_loop import OvertrainingDetector
+
+    def ref_check(history, threshold, epsilon):
+        if len(history) < threshold + 1:
+            return False
+        for i in range(-threshold, -1):
+            if history[i + 1] > history[i]:
+                return True
+            if abs(history[i + 1] - history[i]) >= epsilon:
+                return False
+        return True
+
+    def ref_ema(history, new_value, smoothing=0.987):
+        v = new_value if not history else (smoothing * history[-1]
+                                           + (1 - smoothing) * new_value)
+        history.append(v)
+        return v
+
+    rs = np.random.RandomState(0)
+    det = OvertrainingDetector(threshold_g=4)
+    sg, sd = [], []
+    cg = cd = 0
+    for step in range(40):
+        g = 30.0 - 0.5 * step + rs.rand() * 0.001   # improving, then...
+        d = 5.0 + (0.2 * step if step > 20 else -0.05 * step)
+        if step > 25:
+            g = 18.0 + 0.3 * step                    # ...regressing
+        done = det.update(g, d)
+        ref_ema(sg, float(g))
+        ref_ema(sd, float(d))
+        if ref_check(sg, 4, 0.01):
+            cg += 1
+        else:
+            cg = 0
+        if ref_check(sd, 8, 0.004):
+            cd += 1
+        else:
+            cd = 0
+        ref_done = cg == 4 or cd == 8
+        np.testing.assert_allclose(det.smoothed_gen, sg, rtol=1e-12)
+        np.testing.assert_allclose(det.smoothed_disc, sd, rtol=1e-12)
+        assert (det.consecutive_gen, det.consecutive_disc) == (cg, cd)
+        assert done == ref_done, step
+
+
+def test_overtraining_detector_json_roundtrip(tmp_path):
+    from rvc_maker_tpu.pipelines.train_loop import OvertrainingDetector
+
+    det = OvertrainingDetector(threshold_g=3)
+    for i in range(5):
+        det.update(10.0 - i, 4.0 + 0.1 * i)
+    path = str(tmp_path / "training_data.json")
+    det.save_json(path)
+
+    import json
+
+    d = json.load(open(path))
+    assert set(d) == {"loss_disc_history", "smoothed_loss_disc_history",
+                      "loss_gen_history", "smoothed_loss_gen_history"}
+
+    det2 = OvertrainingDetector(threshold_g=3)
+    det2.load_json(path)
+    assert det2.loss_gen_history == det.loss_gen_history
+    assert det2.smoothed_disc == det.smoothed_disc
