@@ -49,11 +49,15 @@ def main():
     rng = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     log("initializing params (random weights; pretrained ckpts load the same trees)")
-    synth_params = syn.init_params(k1, cfg)
-    hubert_params = hubert_mod.init_params(k2)
-    rmvpe_params = _random_rmvpe(k3)
-    index_vectors = np.asarray(jax.random.normal(k4, (index_rows, 768)),
-                               np.float32)
+    # each init as ONE jitted program: eager per-layer jax.random calls
+    # would each remote-compile through the tunnel (~150 tiny programs,
+    # none persisted by the 1 s cache threshold)
+    synth_params = jax.jit(lambda k: syn.init_params(k, cfg))(k1)
+    hubert_params = jax.jit(hubert_mod.init_params)(k2)
+    rmvpe_params = _random_rmvpe(k3)   # pure numpy, no device work
+    index_vectors = np.asarray(jax.jit(
+        lambda k: jax.random.normal(k, (index_rows, 768)))(k4), np.float32)
+    jax.block_until_ready(synth_params)
 
     import jax.numpy as jnp
 
@@ -100,16 +104,18 @@ def main():
 def _random_rmvpe(key):
     """Random-weight RMVPE param tree with the real architecture shapes
     (driver hosts have no model downloads; real rmvpe.pt loads via
-    rvc_maker_tpu.models.rmvpe.load_rmvpe_pt into the same tree)."""
-    import jax
-
+    rvc_maker_tpu.models.rmvpe.load_rmvpe_pt into the same tree).
+    Pure-numpy init: device placement happens once in ConvertPipeline
+    (per-leaf jax.random would remote-compile hundreds of tiny programs
+    through the tunnel)."""
     from rvc_maker_tpu.models.rmvpe import N_CLASS
 
-    keys = iter(jax.random.split(key, 512))
+    del key
+    rs = np.random.RandomState(1234)
 
     def conv(cin, cout, k=3):
-        return {"w": np.asarray(jax.random.normal(next(keys), (k, k, cin, cout)),
-                                np.float32) * (1.0 / np.sqrt(k * k * cin))}
+        return {"w": rs.randn(k, k, cin, cout).astype(np.float32)
+                * (1.0 / np.sqrt(k * k * cin))}
 
     def bn(c):
         return {"scale": np.ones((c,), np.float32),
@@ -145,17 +151,16 @@ def _random_rmvpe(key):
     p["cnn"] = {"w": conv(16, 3)["w"], "b": np.zeros((3,), np.float32)}
     h = 256
     p["gru"] = {
-        "w_ih": np.asarray(jax.random.normal(next(keys), (3 * h, 384)), np.float32) * 0.05,
-        "w_hh": np.asarray(jax.random.normal(next(keys), (3 * h, h)), np.float32) * 0.05,
+        "w_ih": rs.randn(3 * h, 384).astype(np.float32) * 0.05,
+        "w_hh": rs.randn(3 * h, h).astype(np.float32) * 0.05,
         "b_ih": np.zeros((3 * h,), np.float32),
         "b_hh": np.zeros((3 * h,), np.float32),
-        "w_ih_r": np.asarray(jax.random.normal(next(keys), (3 * h, 384)), np.float32) * 0.05,
-        "w_hh_r": np.asarray(jax.random.normal(next(keys), (3 * h, h)), np.float32) * 0.05,
+        "w_ih_r": rs.randn(3 * h, 384).astype(np.float32) * 0.05,
+        "w_hh_r": rs.randn(3 * h, h).astype(np.float32) * 0.05,
         "b_ih_r": np.zeros((3 * h,), np.float32),
         "b_hh_r": np.zeros((3 * h,), np.float32),
     }
-    p["fc"] = {"w": np.asarray(jax.random.normal(next(keys), (2 * h, N_CLASS)),
-                               np.float32) * 0.05,
+    p["fc"] = {"w": rs.randn(2 * h, N_CLASS).astype(np.float32) * 0.05,
                "b": np.zeros((N_CLASS,), np.float32)}
     return p
 

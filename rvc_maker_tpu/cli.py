@@ -420,7 +420,9 @@ def cmd_transcribe(args):
                            language=args.language)
     audio = load_audio(args.input, 16000)
     segs = transcribe(params, dims, tok, audio,
-                      word_timestamps=args.word_timestamps)
+                      word_timestamps=args.word_timestamps,
+                      beam_size=args.beam_size, patience=args.patience,
+                      best_of=args.best_of)
     out = [{k: v for k, v in s.items() if k != "tokens"} for s in segs]
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2, ensure_ascii=False)
@@ -732,6 +734,13 @@ def build_parser():
     sw.add_argument("--output", required=True)
     sw.add_argument("--language", default="en")
     sw.add_argument("--word-timestamps", action="store_true")
+    sw.add_argument("--beam-size", type=int, default=None,
+                    help="beam search width at temperature 0 "
+                         "(reference DecodingOptions.beam_size)")
+    sw.add_argument("--patience", type=float, default=None,
+                    help="beam patience multiplier")
+    sw.add_argument("--best-of", type=int, default=None,
+                    help="independent samples kept at temperature > 0")
     sw.set_defaults(func=cmd_transcribe)
 
     sx = sub.add_parser("effects")
