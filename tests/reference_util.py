@@ -48,6 +48,11 @@ def _install_shims():
         sys.modules["omegaconf"] = om
 
     if "librosa" not in sys.modules:
+        # NOTE: this shim backs librosa.filters.mel with our own
+        # mel_filterbank, which would be self-referential on its own;
+        # the filterbank itself is pinned against committed golden
+        # fixtures + an independent construction + analytic invariants
+        # in tests/test_mel_golden.py, so the circularity is broken.
         from rvc_maker_tpu.ops.stft import mel_filterbank
 
         lib = _shim_module("librosa")
