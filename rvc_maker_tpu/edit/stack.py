@@ -231,47 +231,54 @@ class AudioLDM2Stack:
         projection_model/, unet/, vocoder/ with safetensors weights and
         tokenizer files).  The download itself is gated (reference
         fetches from HuggingFace lazily; this image has no egress)."""
-        if not os.path.isdir(model_dir):
-            raise RuntimeError(
-                f"AudioLDM2 checkpoint directory {model_dir!r} not found. "
-                "The diffusion stack is download-gated: place a diffusers "
-                "checkpoint tree locally and pass its path.")
-        from safetensors import safe_open
-
-        def read_sf(sub):
-            path = None
-            for cand in ("diffusion_pytorch_model.safetensors",
-                         "model.safetensors"):
-                c = os.path.join(model_dir, sub, cand)
-                if os.path.isfile(c):
-                    path = c
-                    break
-            if path is None:
-                raise FileNotFoundError(f"no safetensors under {sub}/")
-            out = {}
-            with safe_open(path, framework="np") as f:
-                for k in f.keys():
-                    out[k] = f.get_tensor(k)
-            return out
-
-        params = {
-            "vae": am.vae_params_from_state_dict(read_sf("vae")),
-            "vocoder": am.vocoder_params_from_state_dict(
-                read_sf("vocoder")),
-            "clap": at.clap_params_from_state_dict(read_sf("text_encoder")),
-            "t5": at.t5_params_from_state_dict(read_sf("text_encoder_2")),
-            "gpt2": at.gpt2_params_from_state_dict(
-                read_sf("language_model")),
-            "proj": at.projection_params_from_state_dict(
-                read_sf("projection_model")),
-        }
+        params = load_components_from_dir(model_dir)
         del params  # every component except the UNet imports cleanly
         raise NotImplementedError(
             "UNet checkpoint import requires validating the diffusers "
             "AudioLDM2 UNet key mapping against a real checkpoint, which "
             "is not present offline; all other components (VAE, vocoder, "
             "CLAP, T5, GPT2, projection) import from this directory "
-            "layout already.")
+            "layout already (load_components_from_dir).")
+
+
+def load_components_from_dir(model_dir: str) -> dict:
+    """Import every AudioLDM2 component with an offline-validatable key
+    layout from a diffusers checkpoint directory.  Returns
+    {vae, vocoder, clap, t5, gpt2, proj} param trees; the UNet is
+    excluded (its key mapping needs a real checkpoint to validate,
+    see AudioLDM2Stack.load_from_dir)."""
+    if not os.path.isdir(model_dir):
+        raise RuntimeError(
+            f"AudioLDM2 checkpoint directory {model_dir!r} not found. "
+            "The diffusion stack is download-gated: place a diffusers "
+            "checkpoint tree locally and pass its path.")
+    from safetensors import safe_open
+
+    def read_sf(sub):
+        path = None
+        for cand in ("diffusion_pytorch_model.safetensors",
+                     "model.safetensors"):
+            c = os.path.join(model_dir, sub, cand)
+            if os.path.isfile(c):
+                path = c
+                break
+        if path is None:
+            raise FileNotFoundError(f"no safetensors under {sub}/")
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+
+    return {
+        "vae": am.vae_params_from_state_dict(read_sf("vae")),
+        "vocoder": am.vocoder_params_from_state_dict(read_sf("vocoder")),
+        "clap": at.clap_params_from_state_dict(read_sf("text_encoder")),
+        "t5": at.t5_params_from_state_dict(read_sf("text_encoder_2")),
+        "gpt2": at.gpt2_params_from_state_dict(read_sf("language_model")),
+        "proj": at.projection_params_from_state_dict(
+            read_sf("projection_model")),
+    }
 
 
 def _init_vocoder(rs, cfg: am.VocoderConfig):

@@ -295,3 +295,132 @@ def test_load_from_dir_gated(tmp_path):
 
     with pytest.raises(RuntimeError, match="download-gated"):
         AudioLDM2Stack.load_from_dir(str(tmp_path / "missing"))
+
+
+def test_load_components_from_synthetic_checkpoint_dir(tmp_path):
+    """The safetensors directory loader imports every non-UNet component
+    from a diffusers-layout tree: real transformers models saved for
+    CLAP/T5/GPT2/vocoder, diffusers-keyed random tensors for VAE and
+    projection; each imported tree must run a forward."""
+    from safetensors.numpy import save_file
+    from transformers import (ClapTextConfig, ClapTextModelWithProjection,
+                              GPT2Config, GPT2Model, SpeechT5HifiGan,
+                              SpeechT5HifiGanConfig, T5Config,
+                              T5EncoderModel)
+
+    from rvc_maker_tpu.edit.stack import load_components_from_dir
+    from rvc_maker_tpu.models import audioldm2_text as at
+
+    def save(sub, sd, name="model.safetensors"):
+        d = tmp_path / sub
+        d.mkdir(parents=True, exist_ok=True)
+        arrs = {k: np.ascontiguousarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+        save_file(arrs, str(d / name))
+
+    torch.manual_seed(0)
+    clap = ClapTextModelWithProjection(ClapTextConfig(
+        vocab_size=80, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=24,
+        max_position_embeddings=32, projection_dim=8)).eval()
+    save("text_encoder", clap.state_dict())
+    t5 = T5EncoderModel(T5Config(
+        vocab_size=80, d_model=16, d_kv=4, d_ff=24, num_layers=1,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0)).eval()
+    save("text_encoder_2", t5.state_dict())
+    gpt2 = GPT2Model(GPT2Config(vocab_size=80, n_positions=32, n_embd=16,
+                                n_layer=1, n_head=2)).eval()
+    save("language_model", gpt2.state_dict())
+    voc = SpeechT5HifiGan(SpeechT5HifiGanConfig(
+        model_in_dim=8, upsample_initial_channel=16,
+        upsample_rates=[4], upsample_kernel_sizes=[8],
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]])).eval()
+    save("vocoder", voc.state_dict(),
+         name="diffusion_pytorch_model.safetensors")
+
+    rs = np.random.RandomState(0)
+    save("projection_model", {
+        "projection.weight": rs.randn(16, 8).astype(np.float32),
+        "projection.bias": np.zeros(16, np.float32),
+        "projection_1.weight": rs.randn(16, 16).astype(np.float32),
+        "projection_1.bias": np.zeros(16, np.float32),
+        "sos_embed": rs.randn(16).astype(np.float32),
+        "eos_embed": rs.randn(16).astype(np.float32),
+        "sos_embed_1": rs.randn(16).astype(np.float32),
+        "eos_embed_1": rs.randn(16).astype(np.float32),
+    })
+
+    # diffusers-keyed tiny VAE (same fixture builder as the importer test)
+    vae_sd = {}
+
+    def conv(prefix, cin, cout, k=3):
+        vae_sd[f"{prefix}.weight"] = rs.randn(cout, cin, k, k
+                                              ).astype(np.float32) * 0.1
+        vae_sd[f"{prefix}.bias"] = np.zeros(cout, np.float32)
+
+    def gn(prefix, c):
+        vae_sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+        vae_sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+
+    def lin(prefix, c):
+        vae_sd[f"{prefix}.weight"] = rs.randn(c, c).astype(np.float32) * 0.1
+        vae_sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+
+    def resnet(prefix, cin, cout):
+        gn(f"{prefix}.norm1", cin)
+        conv(f"{prefix}.conv1", cin, cout)
+        gn(f"{prefix}.norm2", cout)
+        conv(f"{prefix}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{prefix}.conv_shortcut", cin, cout, k=1)
+
+    def attnb(prefix, c):
+        gn(f"{prefix}.group_norm", c)
+        for n in ("to_q", "to_k", "to_v", "to_out.0"):
+            lin(f"{prefix}.{n}", c)
+
+    conv("encoder.conv_in", 1, 8)
+    resnet("encoder.down_blocks.0.resnets.0", 8, 8)
+    resnet("encoder.mid_block.resnets.0", 8, 8)
+    attnb("encoder.mid_block.attentions.0", 8)
+    resnet("encoder.mid_block.resnets.1", 8, 8)
+    gn("encoder.conv_norm_out", 8)
+    conv("encoder.conv_out", 8, 8)
+    conv("quant_conv", 8, 8, k=1)
+    conv("post_quant_conv", 4, 4, k=1)
+    conv("decoder.conv_in", 4, 8)
+    resnet("decoder.mid_block.resnets.0", 8, 8)
+    attnb("decoder.mid_block.attentions.0", 8)
+    resnet("decoder.mid_block.resnets.1", 8, 8)
+    resnet("decoder.up_blocks.0.resnets.0", 8, 8)
+    resnet("decoder.up_blocks.0.resnets.1", 8, 8)
+    gn("decoder.conv_norm_out", 8)
+    conv("decoder.conv_out", 8, 1)
+    save("vae", vae_sd, name="diffusion_pytorch_model.safetensors")
+
+    params = load_components_from_dir(str(tmp_path))
+    assert set(params) == {"vae", "vocoder", "clap", "t5", "gpt2", "proj"}
+
+    # each imported tree runs a forward
+    vcfg = am.VAEConfig(block_out_channels=(8,), latent_channels=4,
+                        layers_per_block=1, norm_groups=4)
+    z = am.vae_encode_mode(params["vae"], vcfg,
+                           jnp.zeros((1, 4, 8, 1), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(
+        am.vae_decode(params["vae"], vcfg, z))))
+    wav = am.vocoder_apply(params["vocoder"], am.VocoderConfig(
+        model_in_dim=8, upsample_initial_channel=16, upsample_rates=(4,),
+        upsample_kernel_sizes=(8,), resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),)),
+        jnp.zeros((1, 5, 8), jnp.float32))
+    assert wav.shape == (1, 20)
+    feats = at.clap_get_text_features(
+        params["clap"], at.ClapTextConfig(
+            vocab_size=80, hidden_size=16, n_layers=1, n_heads=2,
+            intermediate_size=24, max_position_embeddings=32,
+            pad_token_id=1, projection_dim=8),
+        jnp.asarray([[2, 3, 4]]), jnp.ones((1, 3), jnp.int32))
+    assert feats.shape == (1, 8)
