@@ -535,7 +535,8 @@ def cmd_export_onnx(args):
     from .interop.onnx_voice import export_voice_model
 
     out = export_voice_model(args.model, args.output,
-                             max_frames=args.max_frames)
+                             max_frames=args.max_frames,
+                             dynamic=not args.static)
     print(f"exported -> {out}")
 
 
@@ -839,9 +840,12 @@ def build_parser():
                              "(reference onnx_export.py equivalent)")
     so.add_argument("--model", required=True, help="interchange .pth")
     so.add_argument("--output", required=True, help="output .onnx path")
+    so.add_argument("--static", action="store_true",
+                    help="emit a shape-specialized graph of --max-frames "
+                         "capacity instead of the default dynamic axes")
     so.add_argument("--max-frames", type=int, default=800,
-                    help="static frame capacity of the exported graph "
-                         "(graphs are shape-specialized like XLA programs)")
+                    help="frame capacity of a --static graph (dynamic "
+                         "graphs serve any length >= 21 frames)")
     so.set_defaults(func=cmd_export_onnx)
 
     sa = sub.add_parser("edit",

@@ -36,11 +36,25 @@ def _np_attr(builder, v):
     return a
 
 
+def _is_static_dim(d) -> bool:
+    return isinstance(d, (int, np.integer))
+
+
+def _static_shape(shape) -> bool:
+    return all(_is_static_dim(d) for d in shape)
+
+
 class OnnxBuilder:
     def __init__(self):
         self.nodes: list[op.NodeProto] = []
         self.initializers: dict[str, np.ndarray] = {}
         self._n = 0
+        # dynamic-axes state: symbolic dim variable -> 0-D int64 tensor name
+        # (bound from Shape(input) at graph start), plus memo caches so each
+        # distinct dim expression / shape vector is computed once.
+        self.dim_vars: dict[str, str] = {}
+        self._dim_cache: dict[str, str] = {}
+        self._shape_cache: dict[tuple, str] = {}
 
     def fresh(self, hint="v") -> str:
         self._n += 1
@@ -50,6 +64,87 @@ class OnnxBuilder:
         name = self.fresh(hint)
         self.initializers[name] = np.asarray(arr)
         return name
+
+    # -- symbolic dimension lowering (jax shape polymorphism -> ONNX) -------
+    #
+    # A jax _DimExpr is a sum of (term, coeff) with each term a product of
+    # factors; a factor is either a dim variable or floordiv/mod/max/min of
+    # sub-expressions.  We lower that structure to int64 scalar arithmetic
+    # (0-D tensors), rooted at Shape(input)+Gather bindings made by
+    # export_onnx.  Dim values are nonnegative, so ONNX Div (trunc) matches
+    # jax floordiv and Mod(fmod=0) matches jax mod on this domain.
+
+    def dim_scalar(self, d) -> str:
+        """int or DimExpr -> name of a 0-D int64 tensor holding its value."""
+        if _is_static_dim(d):
+            return self.const(np.asarray(int(d), np.int64), "dim")
+        key = str(d)
+        if key in self._dim_cache:
+            return self._dim_cache[key]
+        acc = None
+        for term, coeff in d._sorted_terms:
+            t = self._dim_term(term)
+            if t is None:  # constant term
+                part = self.const(np.asarray(int(coeff), np.int64), "dim")
+            elif coeff == 1:
+                part = t
+            else:
+                part = self.add("Mul", [
+                    t, self.const(np.asarray(int(coeff), np.int64))])
+            acc = part if acc is None else self.add("Add", [acc, part])
+        self._dim_cache[key] = acc
+        return acc
+
+    def _dim_term(self, term):
+        acc = None
+        for f, exp in term._factors:
+            base = self._dim_factor(f)
+            cur = base
+            for _ in range(int(exp) - 1):
+                cur = self.add("Mul", [cur, base])
+            acc = cur if acc is None else self.add("Mul", [acc, cur])
+        return acc  # None for the empty (constant) term
+
+    def _dim_factor(self, f) -> str:
+        if f.var is not None:
+            if f.var not in self.dim_vars:
+                raise ValueError(
+                    f"symbolic dim '{f.var}' is not bound to any input axis; "
+                    f"name it as a plain axis of some input in dynamic_axes")
+            return self.dim_vars[f.var]
+        a, c = f.operands
+        x, y = self.dim_scalar(a), self.dim_scalar(c)
+        onnx_of = {f.FLOORDIV: "Div", f.MOD: "Mod",
+                   f.MAX: "Max", f.MIN: "Min"}
+        if f.operation not in onnx_of:
+            raise NotImplementedError(f"dim operation {f.operation}")
+        return self.add(onnx_of[f.operation], [x, y])
+
+    def shape_vec(self, shape, hint="shp") -> str:
+        """Sequence of int|DimExpr -> name of a 1-D int64 shape tensor."""
+        shape = list(shape)
+        if _static_shape(shape):
+            return self.const(np.asarray([int(d) for d in shape], np.int64),
+                              hint)
+        key = tuple(str(d) for d in shape)
+        if key in self._shape_cache:
+            return self._shape_cache[key]
+        parts, run = [], []
+        for d in shape:
+            if _is_static_dim(d):
+                run.append(int(d))
+                continue
+            if run:
+                parts.append(self.const(np.asarray(run, np.int64)))
+                run = []
+            parts.append(self.add("Reshape", [
+                self.dim_scalar(d), self.const(np.asarray([1], np.int64))]))
+        if run:
+            parts.append(self.const(np.asarray(run, np.int64)))
+        out = (parts[0] if len(parts) == 1
+               else self.add("Concat", parts, axis=0))
+        self._shape_cache[key] = out
+        return out
 
     def add(self, op_type, inputs, n_out=1, outputs=None, **attrs):
         outs = outputs or [self.fresh(op_type.lower()) for _ in range(n_out)]
@@ -175,20 +270,23 @@ def _transpose(b, eqn, ins):
 
 @_prim("reshape")
 def _reshape(b, eqn, ins):
-    shape = b.const(np.asarray(eqn.params["new_sizes"], np.int64))
-    return [b.add("Reshape", [ins[0], shape])]
+    return [b.add("Reshape", [ins[0], b.shape_vec(eqn.params["new_sizes"])])]
 
 
 @_prim("squeeze")
 def _squeeze(b, eqn, ins):
-    shape = b.const(np.asarray(eqn.outvars[0].aval.shape, np.int64))
-    return [b.add("Reshape", [ins[0], shape])]
+    return [b.add("Reshape", [ins[0],
+                              b.shape_vec(eqn.outvars[0].aval.shape)])]
 
 
 @_prim("expand_dims")
 def _expand_dims(b, eqn, ins):
-    shape = b.const(np.asarray(eqn.outvars[0].aval.shape, np.int64))
-    return [b.add("Reshape", [ins[0], shape])]
+    return [b.add("Reshape", [ins[0],
+                              b.shape_vec(eqn.outvars[0].aval.shape)])]
+
+
+def _same_dims(a, bb) -> bool:
+    return len(a) == len(bb) and all(str(x) == str(y) for x, y in zip(a, bb))
 
 
 @_prim("broadcast_in_dim")
@@ -201,10 +299,10 @@ def _broadcast(b, eqn, ins):
     for i, d in enumerate(bdims):
         mid[d] = in_shape[i]
     x = ins[0]
-    if list(in_shape) != mid:
-        x = b.add("Reshape", [x, b.const(np.asarray(mid, np.int64))])
-    if mid != shape:
-        x = b.add("Expand", [x, b.const(np.asarray(shape, np.int64))])
+    if not _same_dims(in_shape, mid):
+        x = b.add("Reshape", [x, b.shape_vec(mid)])
+    if not _same_dims(mid, shape):
+        x = b.add("Expand", [x, b.shape_vec(shape)])
     return [x]
 
 
@@ -215,7 +313,7 @@ def _concat(b, eqn, ins):
 
 @_prim("split")
 def _split(b, eqn, ins):
-    sizes = b.const(np.asarray(eqn.params["sizes"], np.int64))
+    sizes = b.shape_vec(eqn.params["sizes"])
     n = len(eqn.params["sizes"])
     outs = b.add("Split", [ins[0], sizes], n_out=n,
                  axis=int(eqn.params["axis"]))
@@ -230,10 +328,9 @@ def _slice(b, eqn, ins):
     strides = list(strides) if strides is not None else [1] * len(starts)
     axes = list(range(len(starts)))
     return [b.add("Slice", [
-        ins[0], b.const(np.asarray(starts, np.int64)),
-        b.const(np.asarray(ends, np.int64)),
+        ins[0], b.shape_vec(starts), b.shape_vec(ends),
         b.const(np.asarray(axes, np.int64)),
-        b.const(np.asarray(strides, np.int64))])]
+        b.shape_vec(strides)])]
 
 
 @_prim("rev")
@@ -251,11 +348,25 @@ def _rev(b, eqn, ins):
 @_prim("pad")
 def _pad(b, eqn, ins):
     cfg = eqn.params["padding_config"]
-    if any(inner for _, _, inner in cfg):
+    if any((not _is_static_dim(inner)) or inner for _, _, inner in cfg):
         raise NotImplementedError("pad with interior padding")
     los = [lo for lo, _, _ in cfg]
     his = [hi for _, hi, _ in cfg]
     x = ins[0]
+    if not _static_shape(los + his):
+        # symbolic pad amounts (e.g. pad-to-length-t): Pad by max(p, 0)
+        # computed at run time, then Slice the negative parts off using the
+        # traced output shape as the kept extent.
+        nd = len(cfg)
+        zero = b.const(np.asarray(0, np.int64))
+        pos = b.add("Max", [b.shape_vec(los + his, "pads"), zero])
+        x = b.add("Pad", [x, pos, ins[1]], mode="constant")
+        starts = b.add("Neg", [b.add("Min", [b.shape_vec(los), zero])])
+        ends = b.add("Add", [starts,
+                             b.shape_vec(eqn.outvars[0].aval.shape)])
+        return [b.add("Slice", [
+            x, starts, ends, b.const(np.arange(nd, dtype=np.int64)),
+            b.const(np.ones(nd, np.int64))])]
     if any(p > 0 for p in los + his):
         pads = [max(p, 0) for p in los] + [max(p, 0) for p in his]
         x = b.add("Pad", [x, b.const(np.asarray(pads, np.int64)), ins[1]],
@@ -279,16 +390,26 @@ def _iota(b, eqn, ins):
     dt = np.dtype(eqn.params["dtype"])
     n = shape[dim]
     r = b.add("Range", [b.const(np.asarray(0, np.int64)),
-                        b.const(np.asarray(n, np.int64)),
+                        b.dim_scalar(n),
                         b.const(np.asarray(1, np.int64))])
     if dt != np.int64:
         r = b.add("Cast", [r], to=op._NP_TO_ONNX[dt.name])
     mid = [1] * len(shape)
     mid[dim] = n
-    r = b.add("Reshape", [r, b.const(np.asarray(mid, np.int64))])
-    if mid != shape:
-        r = b.add("Expand", [r, b.const(np.asarray(shape, np.int64))])
+    r = b.add("Reshape", [r, b.shape_vec(mid)])
+    if not _same_dims(mid, shape):
+        r = b.add("Expand", [r, b.shape_vec(shape)])
     return [r]
+
+
+@_prim("dim_as_value")
+def _dim_as_value(b, eqn, ins):
+    """A symbolic dimension used as an array value (shape polymorphism)."""
+    d = b.dim_scalar(eqn.params["dim"])
+    dt = np.dtype(eqn.outvars[0].aval.dtype)
+    if dt != np.int64:
+        d = b.add("Cast", [d], to=op._NP_TO_ONNX[dt.name])
+    return [d]
 
 
 @_prim("cumsum")
@@ -346,14 +467,14 @@ def _dot_general(b, eqn, ins):
     R = prod(rfree, rshape)
     a = b.add("Transpose", [ins[0]], perm=lperm) if lperm != list(
         range(len(lshape))) else ins[0]
-    a = b.add("Reshape", [a, b.const(np.asarray([B, L, C], np.int64))])
+    a = b.add("Reshape", [a, b.shape_vec([B, L, C])])
     c = b.add("Transpose", [ins[1]], perm=rperm) if rperm != list(
         range(len(rshape))) else ins[1]
-    c = b.add("Reshape", [c, b.const(np.asarray([B, C, R], np.int64))])
+    c = b.add("Reshape", [c, b.shape_vec([B, C, R])])
     y = b.add("MatMul", [a, c])
     out_shape = ([lshape[i] for i in lb] + [lshape[i] for i in lfree]
                  + [rshape[i] for i in rfree])
-    return [b.add("Reshape", [y, b.const(np.asarray(out_shape, np.int64))])]
+    return [b.add("Reshape", [y, b.shape_vec(out_shape)])]
 
 
 @_prim("reduce_window_sum")
@@ -380,9 +501,11 @@ def _reduce_window_sum(b, eqn, ins):
     batch = [i for i in range(rank) if i not in spatial]
     perm = batch + spatial
     x = b.add("Transpose", ins, perm=perm)
-    n = int(np.prod([in_shape[i] for i in batch])) if batch else 1
+    n = 1
+    for i in batch:
+        n = n * in_shape[i]
     pool_in = [n, 1] + [in_shape[i] for i in spatial]
-    x = b.add("Reshape", [x, b.const(np.asarray(pool_in, np.int64))])
+    x = b.add("Reshape", [x, b.shape_vec(pool_in)])
     y = b.add("AveragePool", [x],
               kernel_shape=[wd[i] for i in spatial],
               strides=[ws[i] for i in spatial],
@@ -394,7 +517,7 @@ def _reduce_window_sum(b, eqn, ins):
         scale, np.dtype(eqn.outvars[0].aval.dtype)))])
     mid = ([out_shape[i] for i in batch]
            + [out_shape[i] for i in spatial])
-    y = b.add("Reshape", [y, b.const(np.asarray(mid, np.int64))])
+    y = b.add("Reshape", [y, b.shape_vec(mid)])
     inv = np.argsort(perm).tolist()
     return [b.add("Transpose", [y], perm=inv)]
 
@@ -437,12 +560,10 @@ def _conv(b, eqn, ins):
         padded = b.add("Pad", [unsq, b.const(pads), zero], mode="constant")
         new_shape = list(x_shape)
         new_shape[ax] = x_shape[ax] * s
-        x = b.add("Reshape", [padded,
-                              b.const(np.asarray(new_shape, np.int64))])
+        x = b.add("Reshape", [padded, b.shape_vec(new_shape)])
         # drop the trailing s-1 stuffed zeros
-        starts = np.zeros(1, np.int64)
-        ends = np.asarray([new_shape[ax] - (s - 1)], np.int64)
-        x = b.add("Slice", [x, b.const(starts), b.const(ends),
+        x = b.add("Slice", [x, b.const(np.zeros(1, np.int64)),
+                            b.shape_vec([new_shape[ax] - (s - 1)]),
                             b.const(np.asarray([ax], np.int64)),
                             b.const(np.ones(1, np.int64))])
         x_shape[ax] = new_shape[ax] - (s - 1)
@@ -486,12 +607,11 @@ def _dynamic_slice(b, eqn, ins):
         parts.append(u)
     st = b.add("Concat", parts, axis=0) if len(parts) > 1 else parts[0]
     # clamp starts to [0, dim - size] like lax semantics
-    dims = np.asarray([eqn.invars[0].aval.shape[i] for i in range(nd)],
-                      np.int64)
-    limit = b.const(dims - np.asarray(sizes, np.int64))
+    dims = [eqn.invars[0].aval.shape[i] for i in range(nd)]
+    limit = [d - s for d, s in zip(dims, sizes)]
     st = b.add("Min", [b.add("Max", [st, b.const(np.zeros(nd, np.int64))]),
-                       limit])
-    en = b.add("Add", [st, b.const(np.asarray(sizes, np.int64))])
+                       b.shape_vec(limit)])
+    en = b.add("Add", [st, b.shape_vec(sizes)])
     return [b.add("Slice", [x, st, en,
                             b.const(np.arange(nd, dtype=np.int64)),
                             b.const(np.ones(nd, np.int64))])]
@@ -518,15 +638,58 @@ def _gather(b, eqn, ins):
         idx = ins[1]
         # indices shape (..., 1) -> squeeze the index-vector dim
         if indices.shape and indices.shape[-1] == 1:
-            idx = b.add("Reshape", [idx, b.const(
-                np.asarray(indices.shape[:-1], np.int64))])
+            idx = b.add("Reshape", [idx, b.shape_vec(indices.shape[:-1])])
         out = b.add("Gather", [ins[0], idx], axis=axis)
         # jax output: batch dims of indices replace the collapsed axis and
         # land at offset_dims complement — for axis-0 takes this matches
         # ONNX Gather; reshape to the traced output shape for safety
-        out = b.add("Reshape", [out, b.const(
-            np.asarray(eqn.outvars[0].aval.shape, np.int64))])
+        out = b.add("Reshape", [out,
+                                b.shape_vec(eqn.outvars[0].aval.shape)])
         return [out]
+    # pattern: dynamic slice along k axes (symbolic-shape slicing and
+    # advanced start-index slicing lower to this): a single rank-1 index
+    # vector of k starts, no index batch dims, full slices on unmapped
+    # axes, collapsed dims of size 1.  Lowered to one ONNX Slice plus a
+    # Reshape dropping the collapsed dims.
+    nd = len(slice_sizes)
+    out_rank = len(eqn.outvars[0].aval.shape)
+    if (dnums.operand_batching_dims == ()
+            and dnums.start_indices_batching_dims == ()
+            and len(indices.shape) == 1
+            and _is_static_dim(indices.shape[0])
+            and int(indices.shape[0]) == len(dnums.start_index_map)
+            and tuple(dnums.offset_dims) == tuple(range(out_rank))
+            and all(str(slice_sizes[i]) == "1"
+                    for i in dnums.collapsed_slice_dims)
+            and all(str(slice_sizes[i]) == str(operand.shape[i])
+                    for i in range(nd)
+                    if i not in dnums.start_index_map)):
+        idx = ins[1]
+        if np.dtype(indices.dtype) != np.int64:
+            idx = b.add("Cast", [idx], to=op.INT64)
+        pos_of = {ax: j for j, ax in enumerate(dnums.start_index_map)}
+        parts = []
+        for ax in range(nd):
+            if ax in pos_of:
+                j = pos_of[ax]
+                parts.append(b.add("Slice", [
+                    idx, b.const(np.asarray([j], np.int64)),
+                    b.const(np.asarray([j + 1], np.int64)),
+                    b.const(np.zeros(1, np.int64)),
+                    b.const(np.ones(1, np.int64))]))
+            else:
+                parts.append(b.const(np.zeros(1, np.int64)))
+        st = b.add("Concat", parts, axis=0) if nd > 1 else parts[0]
+        sizes = b.shape_vec(slice_sizes)
+        lim = b.add("Sub", [b.shape_vec(operand.shape), sizes])
+        st = b.add("Min", [
+            b.add("Max", [st, b.const(np.zeros(nd, np.int64))]), lim])
+        ends = b.add("Add", [st, sizes])
+        out = b.add("Slice", [
+            ins[0], st, ends, b.const(np.arange(nd, dtype=np.int64)),
+            b.const(np.ones(nd, np.int64))])
+        return [b.add("Reshape", [out,
+                                  b.shape_vec(eqn.outvars[0].aval.shape)])]
     raise NotImplementedError(
         f"general gather: dnums={dnums} sizes={slice_sizes}")
 
@@ -537,6 +700,10 @@ def _scan(b, eqn, ins):
     repeated blocks, exactly like a torch-exported model)."""
     p = eqn.params
     reverse = bool(p.get("reverse"))
+    if not _is_static_dim(p["length"]):
+        raise NotImplementedError(
+            "lax.scan over a symbolic length cannot be unrolled; keep the "
+            "scanned axis static or lift the scan out of the exported fn")
     length = int(p["length"])
     n_consts = int(p["num_consts"])
     n_carry = int(p["num_carry"])
@@ -560,14 +727,14 @@ def _scan(b, eqn, ins):
                 b.const(np.asarray([i + 1], np.int64)),
                 b.const(np.asarray([0], np.int64)),
                 b.const(np.asarray([1], np.int64))])
-            x_slices.append(b.add("Reshape", [sl, b.const(
-                np.asarray(aval.shape[1:], np.int64))]))
+            x_slices.append(b.add("Reshape", [sl,
+                                              b.shape_vec(aval.shape[1:])]))
         outs = _inline(b, closed, list(consts) + carry + x_slices)
         carry = list(outs[:n_carry])
         for j, y in enumerate(outs[n_carry:]):
             aval = eqn.outvars[n_carry + j].aval
-            ys_parts[j].append(b.add("Reshape", [y, b.const(
-                np.asarray((1,) + aval.shape[1:], np.int64))]))
+            ys_parts[j].append(b.add("Reshape", [
+                y, b.shape_vec((1,) + tuple(aval.shape[1:]))]))
     if reverse:
         ys_parts = [parts[::-1] for parts in ys_parts]
     ys = [parts[0] if length == 1 else b.add("Concat", parts, axis=0)
@@ -648,33 +815,79 @@ def _value_info(name, aval=None, shape=None, dtype=None):
     if aval is not None:
         shape, dtype = aval.shape, aval.dtype
     if dtype is not None:
+        dims = [op.TensorShapeDim(dim_value=int(d)) if _is_static_dim(d)
+                else op.TensorShapeDim(dim_param=str(d)) for d in shape]
         tt = op.TypeProtoTensor(
             elem_type=op._NP_TO_ONNX[np.dtype(dtype).name],
-            shape=op.TensorShapeProto(
-                dim=[op.TensorShapeDim(dim_value=int(d)) for d in shape]))
+            shape=op.TensorShapeProto(dim=dims))
         vi.type = op.TypeProto(tensor_type=tt)
     return vi
 
 
 def export_onnx(fn, example_args, *, params=None, input_names,
                 output_names, metadata=None, producer="rvc_maker_tpu",
-                opset=17) -> op.ModelProto:
+                opset=17, dynamic_axes=None,
+                dim_constraints=()) -> op.ModelProto:
     """Trace fn(params, *example_args) (or fn(*example_args) if params is
     None) and lower the jaxpr to an ONNX ModelProto.
 
     params (a pytree) becomes initializers; example_args become graph
-    inputs named input_names (in flattened pytree order)."""
-    if params is not None:
-        closed = jax.make_jaxpr(fn)(params, *example_args)
-        flat_params, _ = jax.tree_util.tree_flatten(params)
-        n_params = len(flat_params)
-    else:
-        closed = jax.make_jaxpr(fn)(*example_args)
-        flat_params, n_params = [], 0
-    flat_args = jax.tree_util.tree_leaves(example_args)
+    inputs named input_names (in flattened pytree order).
+
+    dynamic_axes marks input axes as symbolic, like torch.onnx.export's
+    argument of the same name (the reference exporter's usage:
+    main/library/algorithm/onnx_export.py:16-50): a dict
+    {input_name: {axis: dim_spec}} where dim_spec is a jax symbolic-shape
+    expression string — a plain variable ("t") or an expression of
+    variables declared on other axes ("320*t").  The function is traced
+    once with jax shape polymorphism and every shape the graph consumes
+    is emitted as ONNX int64 arithmetic rooted at Shape() of the inputs,
+    so one exported file serves every length.  Each variable must appear
+    as a PLAIN axis of at least one input (that axis binds its value).
+    dim_constraints passes constraints like "t >= 21" through to
+    jax.export.symbolic_shape (needed when the traced code branches on a
+    minimum length)."""
+    flat_args, args_tree = jax.tree_util.tree_flatten(example_args)
     if len(input_names) != len(flat_args):
         raise ValueError(f"{len(flat_args)} traced inputs but "
                          f"{len(input_names)} input_names")
+
+    scope = None
+    if dynamic_axes:
+        from jax import export as jexport
+
+        sym_cache: dict[str, object] = {}
+
+        def sym(spec: str):
+            nonlocal scope
+            if spec not in sym_cache:
+                if scope is None:
+                    (d,) = jexport.symbolic_shape(
+                        spec, constraints=list(dim_constraints))
+                    scope = d.scope
+                else:
+                    (d,) = jexport.symbolic_shape(spec, scope=scope)
+                sym_cache[spec] = d
+            return sym_cache[spec]
+
+        structs = []
+        for nm, leaf in zip(input_names, flat_args):
+            axes = dynamic_axes.get(nm, {})
+            shape = [sym(axes[i]) if i in axes else int(d)
+                     for i, d in enumerate(np.shape(leaf))]
+            structs.append(jax.ShapeDtypeStruct(
+                tuple(shape), np.asarray(leaf).dtype))
+        trace_args = jax.tree_util.tree_unflatten(args_tree, structs)
+    else:
+        trace_args = example_args
+
+    if params is not None:
+        closed = jax.make_jaxpr(fn)(params, *trace_args)
+        flat_params, _ = jax.tree_util.tree_flatten(params)
+        n_params = len(flat_params)
+    else:
+        closed = jax.make_jaxpr(fn)(*trace_args)
+        flat_params, n_params = [], 0
 
     b = OnnxBuilder()
     names = []
@@ -682,6 +895,23 @@ def export_onnx(fn, example_args, *, params=None, input_names,
     for i, leaf in enumerate(flat_params):
         names.append(b.const(np.asarray(leaf), "p"))
     names.extend(input_names)
+    if dynamic_axes:
+        # bind every plain dim variable to Shape(input)[axis] once
+        for i, nm in enumerate(input_names):
+            aval = invars[n_params + i].aval
+            shp = None
+            for ax, d in enumerate(aval.shape):
+                if _is_static_dim(d):
+                    continue
+                var = d._to_var()
+                if var is None or var in b.dim_vars:
+                    continue
+                if shp is None:
+                    shp = b.add("Shape", [nm])
+                b.dim_vars[var] = b.add(
+                    "Gather", [shp, b.const(np.asarray(ax, np.int64))],
+                    axis=0)
+                b._dim_cache[str(d)] = b.dim_vars[var]
     outs = _translate_jaxpr(b, closed.jaxpr, closed.consts, names)
 
     out_nodes = []

@@ -10,11 +10,16 @@ Reference behavior being matched:
     onnxruntime inside the VC pipeline
 
 TPU-native differences (documented, intentional):
-  * our graphs are traced from the jaxpr, so shapes are static — the
-    XLA compilation model.  `max_frames` sets the graph's frame capacity;
-    the loader pads shorter chunks and trims the waveform back.  Graphs
-    exported elsewhere with dynamic axes still run dynamically (the JAX
-    ONNX executor resolves Shape ops from the actual feed).
+  * default export is DYNAMIC like the reference's (dynamic_axes on the
+    frame axes, onnx_export.py:37-42): the jaxpr is traced with jax
+    shape polymorphism and every shape the graph consumes is emitted as
+    runtime int64 arithmetic rooted at Shape(), so one file serves any
+    length >= 21 frames (the loader pads shorter chunks to the
+    rel-attention band minimum).  `dynamic=False` gives the old
+    shape-specialized graph of capacity `max_frames` (pads/trims at
+    load).  Graphs exported elsewhere with dynamic axes also run
+    dynamically (the JAX ONNX executor resolves Shape ops from the
+    actual feed).
   * randomness is explicit: in addition to the reference's input set
     (phone, phone_lengths, pitch, pitchf, ds, rnd) there is a
     `sine_noise` input for the NSF source dither.  The converter feeds
@@ -45,11 +50,19 @@ INPUT_NAMES_NOF0 = ["phone", "phone_lengths", "ds", "rnd"]
 
 
 def export_voice_model(pth_path: str, onnx_path: str, *,
-                       max_frames: int = 200) -> str:
+                       max_frames: int = 200, dynamic: bool = True) -> str:
     """Export a reference-format interchange .pth to ONNX.
 
     Input/output names follow the reference exporter (plus `sine_noise`);
-    layouts are ours (NTC: phone (1, T, emb), rnd (1, T, inter))."""
+    layouts are ours (NTC: phone (1, T, emb), rnd (1, T, inter)).
+
+    dynamic=True (the default, matching the reference's dynamic_axes —
+    onnx_export.py:37-42) marks the frame axes symbolic: the graph is
+    traced once with jax shape polymorphism and carries runtime shape
+    arithmetic, so one file serves any length >= 21 frames (the
+    rel-attention band needs 2*window+1 frames; shorter chunks are
+    padded by the loader).  dynamic=False emits a shape-specialized
+    graph of capacity `max_frames` (smaller file, fully static)."""
     from ..models import synthesizer as syn
     from .torch_import import load_synthesizer_pth
 
@@ -60,6 +73,14 @@ def export_voice_model(pth_path: str, onnx_path: str, *,
             f"model uses {cfg.vocoder}")
     T = int(max_frames)
     emb = cfg.text_enc_hidden_dim
+    if dynamic:
+        dyn_f0 = {"phone": {1: "t"}, "pitch": {1: "t"}, "pitchf": {1: "t"},
+                  "rnd": {1: "t"}, "sine_noise": {1: f"{cfg.upp}*t"}}
+        dyn_nof0 = {"phone": {1: "t"}, "rnd": {1: "t"}}
+        dyn_kw = dict(dim_constraints=["t >= 21"])
+    else:
+        dyn_f0 = dyn_nof0 = None
+        dyn_kw = {}
 
     if cfg.use_f0:
         def fwd(p, phone, phone_lengths, pitch, pitchf, ds, rnd, sine_noise):
@@ -107,10 +128,12 @@ def export_voice_model(pth_path: str, onnx_path: str, *,
     model = export_onnx(
         fwd, args, params=params, input_names=input_names,
         output_names=["audio"],
+        dynamic_axes=(dyn_f0 if cfg.use_f0 else dyn_nof0), **dyn_kw,
         metadata={
             "model_info": json.dumps(model_info),
             "config_list": json.dumps(model_config_to_ckpt_list(cfg)),
-            "max_frames": str(T),
+            "max_frames": "dynamic" if dynamic else str(T),
+            "min_frames": "21" if dynamic else "0",
             "layout": "NTC",
         })
     proto.save_model(model, onnx_path)
@@ -147,7 +170,12 @@ class OnnxVoiceModel:
                 f"{path}: missing config_list metadata. Re-export with "
                 "rvc_maker_tpu (torch-exported graphs lack the hparams "
                 "needed to size noise inputs)")
-        self.max_frames = int(md.get("max_frames", 0)) or None
+        mf = md.get("max_frames", "")
+        # dynamic-axes graphs (ours by default, and torch exports) have no
+        # fixed capacity; min_frames is the rel-attention band minimum
+        self.dynamic = mf in ("", "dynamic")
+        self.max_frames = None if self.dynamic else int(mf)
+        self.min_frames = int(md.get("min_frames", 0) or 0)
 
     def synth(self, feats, frame_lengths, pitch, pitchf, sid, z_noise,
               sine_noise):
@@ -156,11 +184,15 @@ class OnnxVoiceModel:
         and maps over the batch (the graph is traced at B=1)."""
         cfg = self.cfg
         b, t = feats.shape[0], feats.shape[1]
-        cap = self.max_frames or t
-        if t > cap:
-            raise ValueError(
-                f"chunk has {t} frames but the ONNX graph was exported "
-                f"with max_frames={cap}; re-export with a larger capacity")
+        if self.dynamic:
+            cap = max(t, self.min_frames)  # only pad up to the band minimum
+        else:
+            cap = self.max_frames or t
+            if t > cap:
+                raise ValueError(
+                    f"chunk has {t} frames but the ONNX graph was exported "
+                    f"with max_frames={cap}; re-export with a larger "
+                    f"capacity (or use the default dynamic export)")
         pad = cap - t
         if pad:
             feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))

@@ -155,3 +155,87 @@ def test_unsupported_primitive_raises():
     x = RS.randn(16).astype(np.float32)
     with pytest.raises(NotImplementedError, match="fft"):
         export_onnx(f, (x,), input_names=["x"], output_names=["y"])
+
+
+# -- dynamic axes (jax shape polymorphism -> runtime ONNX shape math) --------
+
+def dyn_roundtrip(fn, example_args, dynamic_axes, run_shapes, n_out=1,
+                  dim_constraints=()):
+    """Export once with symbolic axes, execute at several concrete shapes,
+    compare each against calling fn directly (serialization included)."""
+    names = [f"in{i}" for i in range(len(example_args))]
+    onames = [f"out{i}" for i in range(n_out)]
+    model = export_onnx(
+        fn, example_args, input_names=names, output_names=onames,
+        dynamic_axes={names[i]: ax for i, ax in dynamic_axes.items()},
+        dim_constraints=dim_constraints)
+    g = OnnxGraph(op.decode(op.ModelProto, op.encode(model)))
+    for shapes in run_shapes:
+        args = [np.asarray(RS.randn(*s), np.float32) for s in shapes]
+        ref = fn(*[jnp.asarray(a) for a in args])
+        ref = [ref] if n_out == 1 else list(ref)
+        outs = g.run(dict(zip(names, args)))
+        for r, o in zip(ref, outs):
+            r, o = np.asarray(r), np.asarray(o)
+            assert r.shape == o.shape, (shapes, r.shape, o.shape)
+            np.testing.assert_allclose(r, o, rtol=1e-4, atol=1e-4)
+
+
+def test_dynamic_shape_math_ops():
+    """reshape / iota / pad+negative-slice / dot_general / cumsum over a
+    symbolic axis: one graph, three lengths."""
+    def fn(x, w):
+        b, t, c = x.shape
+        y = x.reshape(b, t * c)
+        y = y + jnp.arange(y.shape[1], dtype=x.dtype)
+        y = jnp.pad(y, ((0, 0), (2, 3)))[:, 1:-1]
+        y = y[:, : t * c].reshape(b, t, c)
+        z = jnp.einsum("btc,cd->btd", y, w)
+        return z, jnp.cumsum(y, axis=1)
+
+    dyn_roundtrip(fn, (np.zeros((2, 8, 4), np.float32),
+                       np.zeros((4, 4), np.float32)),
+                  {0: {1: "t"}},
+                  [((2, 8, 4), (4, 4)), ((2, 13, 4), (4, 4)),
+                   ((2, 30, 4), (4, 4))], n_out=2)
+
+
+def test_dynamic_transposed_conv():
+    """lhs-dilated (transposed) conv over a symbolic time axis — the
+    zero-stuffing Reshape/Slice must use runtime shapes."""
+    w = np.asarray(RS.randn(4, 4, 3), np.float32)
+
+    def fn(x):
+        z = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), window_strides=(1,), padding=((1, 1),),
+            lhs_dilation=(2,), dimension_numbers=("NCH", "OIH", "NCH"))
+        return jnp.tanh(z)
+
+    dyn_roundtrip(fn, (np.zeros((2, 4, 8), np.float32),), {0: {2: "t"}},
+                  [((2, 4, 8),), ((2, 4, 19),)])
+
+
+def test_dynamic_dim_as_value_and_mean():
+    """shape[i] used as a VALUE (normalization by length) plus a reduce —
+    exercises the dim_as_value primitive lowering."""
+    def fn(x):
+        t = x.shape[1]
+        return x.sum(axis=1) / t, jnp.broadcast_to(
+            jnp.float32(t), (x.shape[0],))
+
+    dyn_roundtrip(fn, (np.zeros((3, 8), np.float32),), {0: {1: "t"}},
+                  [((3, 8),), ((3, 21),)], n_out=2)
+
+
+def test_dynamic_expression_axis_binding():
+    """A second input whose axis is an EXPRESSION of the first's (k*t):
+    binds through the plain axis, arithmetic lowered to ONNX ops."""
+    def fn(x, up):
+        b, t = x.shape
+        r = jnp.repeat(x, 4, axis=1)
+        return r + up
+
+    dyn_roundtrip(fn, (np.zeros((2, 8), np.float32),
+                       np.zeros((2, 32), np.float32)),
+                  {0: {1: "t"}, 1: {1: "4*t"}},
+                  [((2, 8), (2, 32)), ((2, 11), (2, 44))])

@@ -41,7 +41,16 @@ def onnx_model_path(tmp_path_factory):
     export_synthesizer_pth(params, rvc_cfg, pth, epoch=7, step=123,
                            author="t")
     onnx = str(td / "model.onnx")
-    export_voice_model(pth, onnx, max_frames=FRAMES)
+    export_voice_model(pth, onnx, max_frames=FRAMES, dynamic=False)
+    return pth, onnx
+
+
+@pytest.fixture(scope="module")
+def onnx_dynamic_path(onnx_model_path, tmp_path_factory):
+    pth, _ = onnx_model_path
+    td = tmp_path_factory.mktemp("onnx_voice_dyn")
+    onnx = str(td / "model_dyn.onnx")
+    export_voice_model(pth, onnx)  # dynamic is the default
     return pth, onnx
 
 
@@ -154,3 +163,101 @@ def test_frame_overflow_raises(onnx_model_path):
                  jnp.zeros((b, t), jnp.int32), jnp.zeros((b, t)),
                  jnp.asarray([0], jnp.int32), z,
                  jnp.zeros((b, t * cfg.upp, 1)))
+
+
+# -- dynamic-axes export (reference onnx_export.py:37-42 equivalence) -------
+
+def test_dynamic_metadata(onnx_dynamic_path):
+    _, onnx = onnx_dynamic_path
+    model = proto.load_model(onnx)
+    md = {e.key: e.value for e in model.metadata_props}
+    assert md["max_frames"] == "dynamic"
+    # the frame axes carry dim_param (symbolic), like torch dynamic_axes
+    by_name = {vi.name: vi for vi in model.graph.input}
+    assert by_name["phone"].type.tensor_type.shape.dim[1].dim_param == "t"
+    pf = by_name["pitchf"].type.tensor_type.shape.dim[1]
+    assert pf.dim_param == "t" and not pf.dim_value
+    sn = by_name["sine_noise"].type.tensor_type.shape.dim[1]
+    assert "t" in sn.dim_param  # upp*t expression
+    vm, _, _ = load_voice_model(onnx)
+    assert vm.dynamic and vm.max_frames is None and vm.min_frames == 21
+
+
+@pytest.mark.parametrize("t", [24, 37])
+def test_dynamic_exact_parity_any_length(onnx_dynamic_path, t):
+    """One dynamic graph serves multiple lengths with exact (unpadded)
+    parity vs syn.infer — no capacity, no pad boundary."""
+    pth, onnx = onnx_dynamic_path
+    params, cfg, _ = load_voice_model(pth)
+    vm, _, _ = load_voice_model(onnx)
+    rs = np.random.RandomState(t)
+    b = 2
+    phone = jnp.asarray(rs.randn(b, t, 768).astype(np.float32) * 0.3)
+    lengths = jnp.asarray([t, t], jnp.int32)
+    pitch = jnp.asarray(rs.randint(1, 255, (b, t)), jnp.int32)
+    pitchf = jnp.asarray(rs.uniform(100, 300, (b, t)).astype(np.float32))
+    sid = jnp.asarray([1, 3], jnp.int32)
+    z_noise = jnp.asarray(rs.randn(b, t, 64).astype(np.float32))
+    sine_noise = jnp.asarray(rs.randn(b, t * cfg.upp, 1).astype(np.float32))
+    ref, _, _ = syn.infer(params, cfg, phone, lengths, pitch, pitchf, sid,
+                          z_noise, sine_noise)
+    got = np.asarray(vm.synth(phone, lengths, pitch, pitchf, sid,
+                              z_noise, sine_noise))
+    assert got.shape == (b, t * cfg.upp)
+    np.testing.assert_allclose(got, np.asarray(ref[:, :, 0]),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_dynamic_short_chunk_pads_to_band_minimum(onnx_dynamic_path):
+    """Chunks under 21 frames (the rel-attention band minimum) pad up to
+    21 and trim back; parity holds outside the pad receptive field."""
+    pth, onnx = onnx_dynamic_path
+    params, cfg, _ = load_voice_model(pth)
+    vm, _, _ = load_voice_model(onnx)
+    rs = np.random.RandomState(9)
+    b, t = 1, 17
+    phone = jnp.asarray(rs.randn(b, t, 768).astype(np.float32) * 0.3)
+    lengths = jnp.asarray([t], jnp.int32)
+    pitch = jnp.asarray(rs.randint(1, 255, (b, t)), jnp.int32)
+    pitchf = jnp.asarray(rs.uniform(100, 300, (b, t)).astype(np.float32))
+    sid = jnp.asarray([0], jnp.int32)
+    z_noise = jnp.asarray(rs.randn(b, t, 64).astype(np.float32))
+    sine_noise = jnp.asarray(rs.randn(b, t * cfg.upp, 1).astype(np.float32))
+    ref, _, _ = syn.infer(params, cfg, phone, lengths, pitch, pitchf, sid,
+                          z_noise, sine_noise)
+    got = np.asarray(vm.synth(phone, lengths, pitch, pitchf, sid,
+                              z_noise, sine_noise))
+    assert got.shape == (b, t * cfg.upp)
+    guard = 4 * cfg.upp
+    np.testing.assert_allclose(got[:, :-guard],
+                               np.asarray(ref[:, :-guard, 0]),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_dynamic_convert_pipeline_equals_pth(onnx_dynamic_path):
+    from rvc_maker_tpu.models import hubert as hubert_mod
+    from rvc_maker_tpu.pipelines.convert import (ConvertPipeline,
+                                                 ConvertSettings)
+
+    pth, onnx = onnx_dynamic_path
+    hubert_params = hubert_mod.init_params(jax.random.PRNGKey(1))
+    rs = np.random.RandomState(5)
+    audio = (rs.randn(2, 3200) * 0.1).astype(np.float32)
+    lengths = np.array([3200, 2700], np.int64)
+    settings = ConvertSettings(pitch=0, index_rate=0.0, protect=0.5,
+                               f0_method="yin", deterministic=True)
+
+    params, cfg, _ = load_voice_model(pth)
+    pipe_pth = ConvertPipeline(params, cfg, hubert_params, version="v2")
+    wav_pth, _ = pipe_pth.convert_batch(audio, lengths, 0, settings)
+
+    vm, vm_cfg, _ = load_voice_model(onnx)
+    pipe_onnx = ConvertPipeline(vm, vm_cfg, hubert_params, version="v2")
+    wav_onnx, _ = pipe_onnx.convert_batch(audio, lengths, 0, settings)
+
+    # 20-frame chunks pad to the 21-frame band minimum; trim the pad
+    # receptive field like test_convert_pipeline_onnx_equals_pth
+    guard = 4 * cfg.upp
+    np.testing.assert_allclose(np.asarray(wav_onnx)[:, :-guard],
+                               np.asarray(wav_pth)[:, :-guard],
+                               rtol=1e-3, atol=2e-3)
