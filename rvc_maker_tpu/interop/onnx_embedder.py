@@ -38,11 +38,28 @@ def n_frames(n_samples: int) -> int:
     return t
 
 
+def _min_samples() -> int:
+    """Shortest waveform producing one conv-frontend frame (the stack's
+    receptive field — 400 samples for the standard HuBERT frontend)."""
+    from ..models.hubert import CONV_LAYERS
+
+    r = 1
+    for _dim, k, stride in reversed(CONV_LAYERS):
+        r = (r - 1) * stride + k
+    return r
+
+
+MIN_SAMPLES = _min_samples()
+
+
 def export_embedder(params, path: str, *, version: str = "v2",
-                    max_samples: int = 160000) -> str:
+                    max_samples: int = 160000, dynamic: bool = True) -> str:
     """Export HuBERT params (models.hubert pytree) to .onnx.
 
-    max_samples: static waveform capacity (default 10 s @16 kHz)."""
+    dynamic=True (default) marks the waveform axis symbolic — one graph
+    serves any length >= MIN_SAMPLES (the conv frontend's receptive
+    field).  dynamic=False emits a shape-specialized graph of capacity
+    max_samples (default 10 s @16 kHz)."""
     from ..models import hubert as hubert_mod
 
     L = int(max_samples)
@@ -58,8 +75,12 @@ def export_embedder(params, path: str, *, version: str = "v2",
     model = export_onnx(
         fwd, args, params=params, input_names=["source", "lengths"],
         output_names=["feats"],
+        dynamic_axes={"source": {1: "l"}} if dynamic else None,
+        dim_constraints=[f"l >= {MIN_SAMPLES}"] if dynamic else (),
         metadata={"embedder_info": json.dumps(
-            {"version": version, "max_samples": L})})
+            {"version": version,
+             "max_samples": "dynamic" if dynamic else L,
+             "min_samples": MIN_SAMPLES})})
     proto.save_model(model, path)
     return path
 
@@ -73,7 +94,12 @@ class OnnxEmbedder:
         md = self.graph.metadata
         info = json.loads(md.get("embedder_info", "{}"))
         self.version = info.get("version", "v2")
-        self.max_samples = int(info.get("max_samples", 0)) or None
+        ms = info.get("max_samples") or 0
+        # our dynamic exports and torch graphs (no metadata) both serve
+        # any length; only our --static graphs carry a numeric capacity
+        self.dynamic = ms in (0, "dynamic")
+        self.max_samples = None if self.dynamic else int(ms)
+        self.min_samples = int(info.get("min_samples", 0) or 0)
         self._has_lengths = "lengths" in self.graph.input_names
 
     def features(self, audio, lengths):
@@ -81,11 +107,15 @@ class OnnxEmbedder:
         capacity, maps over the batch (graphs trace at B=1), trims to
         the true frame count of L."""
         b, L = audio.shape
-        cap = self.max_samples or L
-        if L > cap:
-            raise ValueError(
-                f"audio bucket {L} exceeds the embedder graph capacity "
-                f"{cap}; re-export with a larger max_samples")
+        if self.dynamic:
+            cap = max(L, self.min_samples)
+        else:
+            cap = self.max_samples or L
+            if L > cap:
+                raise ValueError(
+                    f"audio bucket {L} exceeds the embedder graph capacity "
+                    f"{cap}; re-export with a larger max_samples (or use "
+                    f"the default dynamic export)")
         if L < cap:
             audio = jnp.pad(audio, ((0, 0), (0, cap - L)))
         lengths = jnp.asarray(lengths, jnp.int32)

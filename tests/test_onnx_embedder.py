@@ -20,7 +20,17 @@ def embedder(tmp_path_factory):
     td = tmp_path_factory.mktemp("onnx_emb")
     params = hubert_mod.init_params(jax.random.PRNGKey(0), n_layers=2)
     path = str(td / "emb.onnx")
-    export_embedder(params, path, version="v2", max_samples=CAP)
+    export_embedder(params, path, version="v2", max_samples=CAP,
+                    dynamic=False)
+    return params, path
+
+
+@pytest.fixture(scope="module")
+def dyn_embedder(tmp_path_factory):
+    td = tmp_path_factory.mktemp("onnx_emb_dyn")
+    params = hubert_mod.init_params(jax.random.PRNGKey(0), n_layers=2)
+    path = str(td / "emb_dyn.onnx")
+    export_embedder(params, path, version="v2")  # dynamic default
     return params, path
 
 
@@ -89,3 +99,31 @@ def test_capacity_overflow_raises(embedder):
     with pytest.raises(ValueError, match="capacity"):
         emb.features(jnp.zeros((1, CAP + 320)),
                      jnp.asarray([CAP], jnp.int32))
+
+
+# -- dynamic-axes embedder graphs -------------------------------------------
+
+@pytest.mark.parametrize("L", [1600, 3200])
+def test_dynamic_feature_parity_any_length(dyn_embedder, L):
+    """One dynamic graph serves multiple waveform lengths exactly (no
+    capacity padding, so parity is unpadded and tight)."""
+    params, path = dyn_embedder
+    emb = load_embedder(path)
+    assert emb.dynamic and emb.max_samples is None
+    rs = np.random.RandomState(L)
+    audio = jnp.asarray((rs.randn(2, L) * 0.1).astype(np.float32))
+    lengths = jnp.asarray([L, L - 800], jnp.int32)
+    ref, _ = hubert_mod.extract_features(params, audio, lengths,
+                                         output_layer=12)
+    got = np.asarray(emb.features(audio, lengths))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+def test_dynamic_no_overflow(dyn_embedder):
+    """Lengths beyond any former capacity run fine on a dynamic graph."""
+    _, path = dyn_embedder
+    emb = OnnxEmbedder(path)
+    L = CAP + 640
+    got = emb.features(jnp.zeros((1, L)), jnp.asarray([L], jnp.int32))
+    assert got.shape[1] == n_frames(L)
