@@ -23,6 +23,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import logging
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -371,22 +372,64 @@ class ConvertPipeline:
         RVC_TPU_PROFILE=1 (per-stage fenced timings)."""
         key = ("fused", f0_method, use_index)
         if key not in self._step_cache:
-            f0_fn = self._f0_raw(f0_method)
-            feat_fn = self._features_raw(use_index)
-            synth_fn = self._synth_raw()
+            self._step_cache[key] = jax.jit(
+                self._fused_raw(f0_method, use_index))
+        return self._step_cache[key]
 
-            def fused(synth_params, hubert_params, index_vectors,
-                      rmvpe_params, audio, lengths, pitch,
-                      autotune_strength, index_rate, sid, protect, rng):
-                f0 = f0_fn(rmvpe_params, audio, pitch, autotune_strength)
-                feats, feats0 = feat_fn(hubert_params, index_vectors,
-                                        audio, lengths, index_rate)
-                p_len = min(audio.shape[1] // WINDOW, feats.shape[1])
-                return synth_fn(synth_params, feats[:, :p_len],
-                                feats0[:, :p_len], f0[:, :p_len], lengths,
-                                sid, protect, rng)
+    def _fused_raw(self, f0_method: str, use_index: bool):
+        f0_fn = self._f0_raw(f0_method)
+        feat_fn = self._features_raw(use_index)
+        synth_fn = self._synth_raw()
 
-            self._step_cache[key] = jax.jit(fused)
+        def fused(synth_params, hubert_params, index_vectors,
+                  rmvpe_params, audio, lengths, pitch,
+                  autotune_strength, index_rate, sid, protect, rng):
+            f0 = f0_fn(rmvpe_params, audio, pitch, autotune_strength)
+            feats, feats0 = feat_fn(hubert_params, index_vectors,
+                                    audio, lengths, index_rate)
+            p_len = min(audio.shape[1] // WINDOW, feats.shape[1])
+            return synth_fn(synth_params, feats[:, :p_len],
+                            feats0[:, :p_len], f0[:, :p_len], lengths,
+                            sid, protect, rng)
+
+        return fused
+
+    def _stage_fused_scan(self, f0_method: str, use_index: bool):
+        """The fused microbatch program `lax.map`-ed over all microbatches
+        of a large batch: ONE dispatch for the whole batch instead of one
+        per microbatch.
+
+        The map is a sequential XLA While over the SAME fused body, so
+        only one microbatch of NSF output-rate activations is live at a
+        time (identical HBM profile to the Python loop).
+
+        MEASURED SLOWER than the loop and therefore OFF by default
+        (RVC_TPU_SCAN_MB=1 to enable): B=128 bench reads 269 vs 381
+        audio-sec/s/chip.  JAX's async dispatch already pipelines the
+        Python loop — the host enqueues microbatch i+1 while the device
+        crunches i, so per-call dispatch latency is hidden — while the
+        While body pays dynamic-update-slice gathers of the large
+        output per iteration.  Kept as an option for backends where
+        dispatch is synchronous.  Never used for meshes (the data axis
+        shards rows, it does not microbatch), host-F0 methods or
+        profiling."""
+        key = ("fused_scan", f0_method, use_index)
+        if key not in self._step_cache:
+            fused = self._fused_raw(f0_method, use_index)
+
+            def scanned(synth_params, hubert_params, index_vectors,
+                        rmvpe_params, audio3, lengths3, sid3, pitch,
+                        autotune_strength, index_rate, protect, rng):
+                def one(xs):
+                    a, ln, s = xs
+                    return fused(synth_params, hubert_params,
+                                 index_vectors, rmvpe_params, a, ln,
+                                 pitch, autotune_strength, index_rate,
+                                 s, protect, rng)
+
+                return jax.lax.map(one, (audio3, lengths3, sid3))
+
+            self._step_cache[key] = jax.jit(scanned)
         return self._step_cache[key]
 
     # -- host-side F0 methods (native C++ WORLD-style, hybrid) -----------
@@ -494,6 +537,49 @@ class ConvertPipeline:
 
     # -- device batch conversion of equal-bucket chunks ------------------
 
+    def _convert_batch_scanned(self, audio_batch: np.ndarray,
+                               lengths: np.ndarray, sid: int,
+                               settings: ConvertSettings,
+                               rng: Optional[jax.Array]):
+        """Whole-batch single-dispatch path (see _stage_fused_scan).
+
+        A non-multiple tail is padded with copies of row 0 (well-behaved
+        values, no NaN risk) and sliced off the outputs."""
+        b_total, L = audio_batch.shape
+        mdb = self.max_device_batch
+        use_index = (self.index_vectors is not None
+                     and settings.index_rate > 0)
+        if rng is None or settings.deterministic:
+            rng = jax.random.PRNGKey(0)
+        nmb = -(-b_total // mdb)
+        pad = nmb * mdb - b_total
+        if pad:
+            audio_batch = np.concatenate(
+                [audio_batch, np.repeat(audio_batch[:1], pad, 0)], 0)
+            lengths = np.concatenate(
+                [lengths, np.repeat(lengths[:1], pad, 0)], 0)
+        audio3 = jnp.asarray(audio_batch, jnp.float32).reshape(nmb, mdb, L)
+        lengths3 = jnp.asarray(lengths, jnp.int32).reshape(nmb, mdb)
+        sid3 = jnp.full((nmb, mdb), sid, jnp.int32)
+        dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
+                                jnp.float32)
+        sp = (None if hasattr(self.synth_params, "graph")
+              else self.synth_params)
+        hp = (None if hasattr(self.hubert_params, "graph")
+              else self.hubert_params)
+        rp = (None if hasattr(self.rmvpe_params, "input_names")
+              else self.rmvpe_params)
+        wav, pf = self._stage_fused_scan(settings.f0_method, use_index)(
+            sp, hp, self.index_vectors if use_index else dummy_index,
+            rp, audio3, lengths3, sid3, jnp.float32(settings.pitch),
+            jnp.float32(settings.f0_autotune_strength
+                        if settings.f0_autotune else 0.0),
+            jnp.float32(settings.index_rate),
+            jnp.float32(settings.protect), rng)
+        wav = wav.reshape(nmb * mdb, *wav.shape[2:])[:b_total]
+        pf = pf.reshape(nmb * mdb, *pf.shape[2:])[:b_total]
+        return wav, pf
+
     def convert_batch(self, audio_batch: np.ndarray, lengths: np.ndarray,
                       sid: int, settings: ConvertSettings,
                       rng: Optional[jax.Array] = None):
@@ -506,6 +592,18 @@ class ConvertPipeline:
         b_total = audio_batch.shape[0]
         mdb = self.max_device_batch
         if b_total > mdb:
+            from ..utils.profiling import profiling_enabled
+
+            scan_ok = (self.mesh is None
+                       and settings.f0_method in ("rmvpe", "rmvpe-legacy",
+                                                  "yin", "fcpe",
+                                                  "fcpe-legacy")
+                       and not settings.f0_file
+                       and not profiling_enabled()
+                       and os.environ.get("RVC_TPU_SCAN_MB", "0") == "1")
+            if scan_ok:
+                return self._convert_batch_scanned(audio_batch, lengths,
+                                                   sid, settings, rng)
             outs = []
             pitchfs = []
             for i in range(0, b_total, mdb):
