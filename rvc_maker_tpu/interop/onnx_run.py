@@ -475,6 +475,131 @@ def _einsum(vals, attrs):
     return [jnp.einsum(attrs["equation"], *[jnp.asarray(v) for v in vals])]
 
 
+# -- recurrent ops (torch-exported RMVPE BiGRU / separator LSTMs) -----------
+
+def _rnn_common(vals, attrs, n_gates):
+    """Shared unpacking for GRU/LSTM: returns (X, W, R, B, H0, extra,
+    dirs, hidden).  Layout 0 only (seq, batch, input) — what torch
+    exports.  sequence_lens must be absent or full-length (the graphs we
+    target run packed full windows)."""
+    if attrs.get("layout", 0) != 0:
+        raise NotImplementedError("RNN layout=1")
+    acts = attrs.get("activations")
+    if acts:
+        defaults = ([b"Sigmoid", b"Tanh"] if n_gates == 3
+                    else [b"Sigmoid", b"Tanh", b"Tanh"])
+        per_dir = [a if isinstance(a, bytes) else a.encode() for a in acts]
+        n = len(defaults)
+        for i, a in enumerate(per_dir):
+            if a != defaults[i % n]:
+                raise NotImplementedError(f"RNN activation {a}")
+    def opt(i):
+        return vals[i] if len(vals) > i else None
+
+    X = jnp.asarray(vals[0])
+    W = jnp.asarray(vals[1])
+    R = jnp.asarray(vals[2])
+    dirs, gh, _ = W.shape
+    hidden = attrs.get("hidden_size", gh // n_gates)
+    B = opt(3)
+    B = (jnp.zeros((dirs, 2 * n_gates * hidden), X.dtype)
+         if B is None else jnp.asarray(B))
+    seq_lens = opt(4)
+    if seq_lens is not None:
+        sl = np.asarray(seq_lens) if _is_np(seq_lens) else None
+        if sl is None or not (sl == X.shape[0]).all():
+            raise NotImplementedError("RNN sequence_lens < seq length")
+    H0 = opt(5)
+    H0 = (jnp.zeros((dirs, X.shape[1], hidden), X.dtype)
+          if H0 is None else jnp.asarray(H0))
+    return X, W, R, B, H0, dirs, hidden
+
+
+def _rnn_directions(attrs, dirs):
+    direction = attrs.get("direction", b"forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    want = {"forward": 1, "reverse": 1, "bidirectional": 2}[direction]
+    assert dirs == want, f"W has {dirs} dirs for direction={direction}"
+    return [direction] if want == 1 else ["forward", "reverse"]
+
+
+@_op("GRU")
+def _gru(vals, attrs):
+    """ONNX GRU (gate order z, r, h).  linear_before_reset=1 is the torch
+    nn.GRU semantics torch.onnx emits (e.g. reference rmvpe.onnx BiGRU,
+    RMVPE.py:60-69)."""
+    X, W, R, B, H0, dirs, H = _rnn_common(vals, attrs, 3)
+    lbr = attrs.get("linear_before_reset", 0)
+
+    def run_dir(d, reverse):
+        Wd, Rd = W[d], R[d]
+        Wb, Rb = B[d, : 3 * H], B[d, 3 * H:]
+        xs = X[::-1] if reverse else X
+        # precompute input projections for the whole sequence
+        xp_ = xs @ Wd.T + Wb  # (seq, batch, 3H)
+
+        def step(h, xt):
+            rz = xt[:, : 2 * H] + h @ Rd[: 2 * H].T + Rb[: 2 * H]
+            z = jax.nn.sigmoid(rz[:, :H])
+            r = jax.nn.sigmoid(rz[:, H: 2 * H])
+            if lbr:
+                hh = jnp.tanh(xt[:, 2 * H:]
+                              + r * (h @ Rd[2 * H:].T + Rb[2 * H:]))
+            else:
+                hh = jnp.tanh(xt[:, 2 * H:] + (r * h) @ Rd[2 * H:].T
+                              + Rb[2 * H:])
+            h = (1.0 - z) * hh + z * h
+            return h, h
+
+        hT, ys = jax.lax.scan(step, H0[d], xp_)
+        return (ys[::-1] if reverse else ys), hT
+
+    outs = [run_dir(d, rev == "reverse")
+            for d, rev in enumerate(_rnn_directions(attrs, dirs))]
+    Y = jnp.stack([y for y, _ in outs], axis=1)   # (seq, dirs, batch, H)
+    Yh = jnp.stack([h for _, h in outs], axis=0)  # (dirs, batch, H)
+    return [Y, Yh][: attrs.get("__n_outputs__", 2)]
+
+
+@_op("LSTM")
+def _lstm(vals, attrs):
+    """ONNX LSTM (gate order i, o, f, c); no peepholes (input 7 must be
+    absent), matching torch exports."""
+    if len(vals) > 7 and vals[7] is not None:
+        raise NotImplementedError("LSTM peepholes")
+    X, W, R, B, H0, dirs, H = _rnn_common(vals, attrs, 4)
+    C0 = (jnp.asarray(vals[6]) if len(vals) > 6 and vals[6] is not None
+          else jnp.zeros_like(H0))
+
+    def run_dir(d, reverse):
+        Wd, Rd = W[d], R[d]
+        Wb, Rb = B[d, : 4 * H], B[d, 4 * H:]
+        xs = X[::-1] if reverse else X
+        xp_ = xs @ Wd.T + Wb
+
+        def step(carry, xt):
+            h, c = carry
+            g = xt + h @ Rd.T + Rb
+            i = jax.nn.sigmoid(g[:, :H])
+            o = jax.nn.sigmoid(g[:, H: 2 * H])
+            f = jax.nn.sigmoid(g[:, 2 * H: 3 * H])
+            cc = jnp.tanh(g[:, 3 * H:])
+            c = f * c + i * cc
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(step, (H0[d], C0[d]), xp_)
+        return (ys[::-1] if reverse else ys), hT, cT
+
+    outs = [run_dir(d, rev == "reverse")
+            for d, rev in enumerate(_rnn_directions(attrs, dirs))]
+    Y = jnp.stack([y for y, _, _ in outs], axis=1)
+    Yh = jnp.stack([h for _, h, _ in outs], axis=0)
+    Yc = jnp.stack([c for _, _, c in outs], axis=0)
+    return [Y, Yh, Yc][: attrs.get("__n_outputs__", 3)]
+
+
 def _reduce(name, np_red, jnp_red):
     @_op(name)
     def run(vals, attrs):

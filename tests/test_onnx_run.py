@@ -344,3 +344,115 @@ def test_small_cnn_end_to_end_jit():
     fn = g.jit()
     np.testing.assert_allclose(np.asarray(fn(x.numpy())[0]), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+# -- recurrent ops (GRU / LSTM, torch weight packing) ------------------------
+
+def _gru_onnx_weights(m, dirs):
+    """Pack torch nn.GRU params the way torch.onnx does: gate reorder
+    (r,z,n) -> (z,r,n), per-direction stacking, linear_before_reset=1."""
+    Ws, Rs, Bs = [], [], []
+    for d in range(dirs):
+        sfx = "_reverse" if d == 1 else ""
+        H = m.hidden_size
+
+        def reorder(w):
+            return np.concatenate([w[H:2*H], w[:H], w[2*H:]], 0)
+
+        wi = reorder(getattr(m, f"weight_ih_l0{sfx}").detach().numpy())
+        wh = reorder(getattr(m, f"weight_hh_l0{sfx}").detach().numpy())
+        bi = reorder(getattr(m, f"bias_ih_l0{sfx}").detach().numpy())
+        bh = reorder(getattr(m, f"bias_hh_l0{sfx}").detach().numpy())
+        Ws.append(wi); Rs.append(wh); Bs.append(np.concatenate([bi, bh]))
+    return (np.stack(Ws).astype(np.float32),
+            np.stack(Rs).astype(np.float32),
+            np.stack(Bs).astype(np.float32))
+
+
+def _lstm_onnx_weights(m, dirs):
+    """torch LSTM gates (i,f,g,o) -> ONNX (i,o,f,c)."""
+    Ws, Rs, Bs = [], [], []
+    for d in range(dirs):
+        sfx = "_reverse" if d == 1 else ""
+        H = m.hidden_size
+
+        def reorder(w):
+            return np.concatenate([w[:H], w[3*H:], w[H:2*H], w[2*H:3*H]], 0)
+
+        wi = reorder(getattr(m, f"weight_ih_l0{sfx}").detach().numpy())
+        wh = reorder(getattr(m, f"weight_hh_l0{sfx}").detach().numpy())
+        bi = reorder(getattr(m, f"bias_ih_l0{sfx}").detach().numpy())
+        bh = reorder(getattr(m, f"bias_hh_l0{sfx}").detach().numpy())
+        Ws.append(wi); Rs.append(wh); Bs.append(np.concatenate([bi, bh]))
+    return (np.stack(Ws).astype(np.float32),
+            np.stack(Rs).astype(np.float32),
+            np.stack(Bs).astype(np.float32))
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_gru_matches_torch(bidir):
+    """The reference rmvpe.onnx BiGRU shape: torch.onnx emits GRU with
+    linear_before_reset=1 and (z,r,n) gate packing."""
+    torch.manual_seed(0)
+    I, H, S, B = 6, 5, 9, 3
+    m = torch.nn.GRU(I, H, bidirectional=bidir)
+    dirs = 2 if bidir else 1
+    W, R, Bb = _gru_onnx_weights(m, dirs)
+    x = RS.randn(S, B, I).astype(np.float32)
+    g = graph([node("GRU", ["x", "W", "R", "B"], ["Y", "Yh"],
+                    hidden_size=H, linear_before_reset=1,
+                    direction="bidirectional" if bidir else "forward")],
+              ["x"], ["Y", "Yh"], {"W": W, "R": R, "B": Bb})
+    outs = g.run({"x": x})
+    Y, Yh = np.asarray(outs[0]), np.asarray(outs[1])
+    with torch.no_grad():
+        yt, ht = m(torch.from_numpy(x))
+    # ONNX Y: (seq, dirs, batch, H); torch: (seq, batch, dirs*H)
+    yt_onnx = yt.numpy().reshape(S, B, dirs, H).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(Y, yt_onnx, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(Yh, ht.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("direction", ["forward", "reverse",
+                                       "bidirectional"])
+def test_lstm_matches_torch(direction):
+    torch.manual_seed(1)
+    I, H, S, B = 4, 7, 8, 2
+    bidir = direction == "bidirectional"
+    m = torch.nn.LSTM(I, H, bidirectional=bidir)
+    dirs = 2 if bidir else 1
+    W, R, Bb = _lstm_onnx_weights(m, dirs)
+    x = RS.randn(S, B, I).astype(np.float32)
+    g = graph([node("LSTM", ["x", "W", "R", "B"], ["Y", "Yh", "Yc"],
+                    hidden_size=H, direction=direction)],
+              ["x"], ["Y", "Yh", "Yc"], {"W": W, "R": R, "B": Bb})
+    outs = g.run({"x": x})
+    Y, Yh, Yc = (np.asarray(o) for o in outs)
+    xin = x[::-1].copy() if direction == "reverse" else x
+    with torch.no_grad():
+        yt, (ht, ct) = m(torch.from_numpy(xin))
+    ytn = yt.numpy()
+    if direction == "reverse":
+        ytn = ytn[::-1]
+    yt_onnx = ytn.reshape(S, B, dirs, H).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(Y, yt_onnx, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(Yh, ht.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(Yc, ct.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_under_jit():
+    """RNN ops must trace (the f0 .onnx path jit-compiles graphs)."""
+    import jax, jax.numpy as jnp
+
+    torch.manual_seed(2)
+    I, H, S, B = 3, 4, 6, 2
+    m = torch.nn.GRU(I, H)
+    W, R, Bb = _gru_onnx_weights(m, 1)
+    x = RS.randn(S, B, I).astype(np.float32)
+    g = graph([node("GRU", ["x", "W", "R", "B"], ["Y"],
+                    hidden_size=H, linear_before_reset=1)],
+              ["x"], ["Y"], {"W": W, "R": R, "B": Bb})
+    eager = np.asarray(g.run({"x": x})[0])
+    jitted = np.asarray(jax.jit(lambda a: g.run({"x": a})[0])(
+        jnp.asarray(x)))
+    np.testing.assert_allclose(jitted, eager, rtol=1e-5, atol=1e-5)
