@@ -48,7 +48,7 @@ class OnnxBuilder:
     def __init__(self):
         self.nodes: list[op.NodeProto] = []
         self.initializers: dict[str, np.ndarray] = {}
-        self._n = 0
+        self._nbox = [0]  # shared with child scopes for unique names
         # dynamic-axes state: symbolic dim variable -> 0-D int64 tensor name
         # (bound from Shape(input) at graph start), plus memo caches so each
         # distinct dim expression / shape vector is computed once.
@@ -56,9 +56,23 @@ class OnnxBuilder:
         self._dim_cache: dict[str, str] = {}
         self._shape_cache: dict[tuple, str] = {}
 
+    def child(self) -> "OnnxBuilder":
+        """A builder for a subgraph (ONNX Loop/If body).  Shares the
+        initializer table and name counter (outer scope is visible to the
+        body, so constants can live at top level); dim caches are COPIED —
+        outer-computed dims are reusable inside, body-computed ones must
+        not leak out of scope."""
+        c = OnnxBuilder()
+        c.initializers = self.initializers
+        c._nbox = self._nbox
+        c.dim_vars = dict(self.dim_vars)
+        c._dim_cache = dict(self._dim_cache)
+        c._shape_cache = dict(self._shape_cache)
+        return c
+
     def fresh(self, hint="v") -> str:
-        self._n += 1
-        return f"{hint}_{self._n}"
+        self._nbox[0] += 1
+        return f"{hint}_{self._nbox[0]}"
 
     def const(self, arr, hint="c") -> str:
         name = self.fresh(hint)
@@ -154,7 +168,9 @@ class OnnxBuilder:
             if v is None:
                 continue
             a = op.AttributeProto(name=k)
-            if isinstance(v, float):
+            if isinstance(v, op.GraphProto):
+                a.type, a.g = op.ATTR_GRAPH, v
+            elif isinstance(v, float):
                 a.type, a.f = op.ATTR_FLOAT, v
             elif isinstance(v, (bool, int, np.integer)):
                 a.type, a.i = op.ATTR_INT, int(v)
@@ -701,9 +717,7 @@ def _scan(b, eqn, ins):
     p = eqn.params
     reverse = bool(p.get("reverse"))
     if not _is_static_dim(p["length"]):
-        raise NotImplementedError(
-            "lax.scan over a symbolic length cannot be unrolled; keep the "
-            "scanned axis static or lift the scan out of the exported fn")
+        return _scan_loop(b, eqn, ins)
     length = int(p["length"])
     n_consts = int(p["num_consts"])
     n_carry = int(p["num_carry"])
@@ -740,6 +754,65 @@ def _scan(b, eqn, ins):
     ys = [parts[0] if length == 1 else b.add("Concat", parts, axis=0)
           for parts in ys_parts]
     return carry + ys
+
+
+def _scan_loop(b, eqn, ins):
+    """lax.scan over a SYMBOLIC length -> ONNX Loop.
+
+    The body jaxpr translates into a Loop body subgraph; per-iteration xs
+    elements are Gathered from the full (outer-scope) arrays at the loop
+    index, carries ride the Loop state, ys ride its scan outputs (each
+    Unsqueezed to stack along axis 0, exactly jax's ys stacking).  This is
+    what makes recurrences over a dynamic axis exportable — e.g. the
+    RMVPE BiGRU over a symbolic frame count."""
+    p = eqn.params
+    reverse = bool(p.get("reverse"))
+    length = p["length"]  # symbolic DimExpr
+    n_consts = int(p["num_consts"])
+    n_carry = int(p["num_carry"])
+    closed = p["jaxpr"]
+    consts = ins[:n_consts]
+    carry0 = list(ins[n_consts:n_consts + n_carry])
+    xs = ins[n_consts + n_carry:]
+    n_ys = len(eqn.outvars) - n_carry
+
+    cb = b.child()
+    iter_in = cb.fresh("iter")
+    cond_in = cb.fresh("cond_in")
+    carry_in = [cb.fresh("carry") for _ in range(n_carry)]
+    idx = iter_in
+    if reverse:
+        idx = cb.add("Sub", [cb.dim_scalar(length - 1), iter_in])
+    x_slices = [cb.add("Gather", [xname, idx], axis=0) for xname in xs]
+    outs = _translate_jaxpr(cb, closed.jaxpr, closed.consts,
+                            list(consts) + carry_in + x_slices)
+    cond_out = cb.add("Identity", [cond_in])
+    carry_out = [cb.add("Identity", [o]) for o in outs[:n_carry]]
+    # scan outputs: the runtime stacks each iteration's value along a new
+    # axis 0 ((trip, *per_iter_shape)) — exactly jax's ys stacking
+    ys_out = [cb.add("Identity", [o]) for o in outs[n_carry:]]
+    body = op.GraphProto(
+        name=b.fresh("scan_body"), node=cb.nodes,
+        input=[op.ValueInfoProto(name=nm)
+               for nm in [iter_in, cond_in] + carry_in],
+        output=[op.ValueInfoProto(name=nm)
+                for nm in [cond_out] + carry_out + ys_out])
+    loop_outs = b.add("Loop",
+                      [b.dim_scalar(length), b.const(np.asarray(True))]
+                      + carry0,
+                      n_out=n_carry + n_ys, body=body)
+    if not isinstance(loop_outs, list):
+        loop_outs = [loop_outs]
+    carries = loop_outs[:n_carry]
+    ys = loop_outs[n_carry:]
+    if reverse:
+        # iteration j consumed xs[L-1-j]; jax returns ys in xs order
+        ys = [b.add("Slice", [y, b.const(np.asarray([-1], np.int64)),
+                              b.const(np.asarray([-2 ** 62], np.int64)),
+                              b.const(np.asarray([0], np.int64)),
+                              b.const(np.asarray([-1], np.int64))])
+              for y in ys]
+    return list(carries) + list(ys)
 
 
 # recursion into sub-jaxprs -------------------------------------------------
@@ -896,22 +969,42 @@ def export_onnx(fn, example_args, *, params=None, input_names,
         names.append(b.const(np.asarray(leaf), "p"))
     names.extend(input_names)
     if dynamic_axes:
-        # bind every plain dim variable to Shape(input)[axis] once
+        # bind dim variables from input shapes: a plain axis `v` binds
+        # directly to Shape(input)[axis]; a single-term axis `k*v` binds
+        # v = Shape(input)[axis] // k (e.g. RMVPE's 32-divisible frame
+        # axis declared as "32*t", or sine noise at "upp*t")
+        def solve(d):
+            var = d._to_var()
+            if var is not None:
+                return var, 1
+            terms = d._sorted_terms
+            if len(terms) == 1:
+                term, coeff = terms[0]
+                fs = term._factors
+                if (len(fs) == 1 and fs[0][1] == 1
+                        and fs[0][0].var is not None and coeff > 1):
+                    return fs[0][0].var, int(coeff)
+            return None, None
+
         for i, nm in enumerate(input_names):
             aval = invars[n_params + i].aval
             shp = None
             for ax, d in enumerate(aval.shape):
                 if _is_static_dim(d):
                     continue
-                var = d._to_var()
+                var, k = solve(d)
                 if var is None or var in b.dim_vars:
                     continue
                 if shp is None:
                     shp = b.add("Shape", [nm])
-                b.dim_vars[var] = b.add(
-                    "Gather", [shp, b.const(np.asarray(ax, np.int64))],
-                    axis=0)
-                b._dim_cache[str(d)] = b.dim_vars[var]
+                v = b.add("Gather",
+                          [shp, b.const(np.asarray(ax, np.int64))], axis=0)
+                if k != 1:
+                    v = b.add("Div",
+                              [v, b.const(np.asarray(k, np.int64))])
+                b.dim_vars[var] = v
+                if k == 1:
+                    b._dim_cache[str(d)] = v
     outs = _translate_jaxpr(b, closed.jaxpr, closed.consts, names)
 
     out_nodes = []

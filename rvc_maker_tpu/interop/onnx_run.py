@@ -907,6 +907,83 @@ def _resize(vals, attrs):
 # graph executor
 # ---------------------------------------------------------------------------
 
+# -- control flow (Loop / If) and the node interpreter ----------------------
+#
+# Subgraphs (graph-typed attributes) execute with ONNX outer-scope
+# semantics: the body sees every name visible at the Loop/If node plus its
+# own formal inputs and local initializers.  Trip counts and conditions
+# must be concrete (numpy) values — under jax tracing they derive from
+# Shape ops, which stay static, so jitted graphs with shape-driven Loops
+# still compile; a Loop whose condition depends on traced DATA raises.
+
+def _run_subgraph(g, outer_env: dict, input_vals):
+    env = dict(outer_env)
+    for t in g.initializer:
+        env[t.name] = op.array_from_tensor(t)
+    for vi, v in zip(g.input, input_vals):
+        env[vi.name] = v
+    _exec_nodes(g.node, env)
+    return [env[vi.name] for vi in g.output]
+
+
+def _loop_node(node, attrs, env):
+    """ONNX Loop: [M, cond, v...] -> [v_final..., scan_outputs...]."""
+    body = attrs["body"]
+    vals = [env[i] if i else None for i in node.input]
+    M = vals[0]
+    M = None if M is None else int(np.asarray(M).reshape(()))
+    cond = vals[1]
+    cond = True if cond is None else bool(np.asarray(cond).reshape(()))
+    carried = list(vals[2:])
+    n_carried = len(carried)
+    n_scan = len(body.output) - 1 - n_carried
+    scans = [[] for _ in range(n_scan)]
+    it = 0
+    while cond and (M is None or it < M):
+        outs = _run_subgraph(
+            body, env,
+            [np.asarray(it, np.int64), np.asarray(cond)] + carried)
+        cond = bool(np.asarray(outs[0]).reshape(()))
+        carried = list(outs[1: 1 + n_carried])
+        for j, v in enumerate(outs[1 + n_carried:]):
+            scans[j].append(v)
+        it += 1
+    if n_scan and it == 0:
+        raise NotImplementedError(
+            "Loop with zero iterations and scan outputs (result shape "
+            "unknowable without type inference)")
+    stacked = [_xp(*s).stack(s, axis=0) for s in scans]
+    return carried + stacked
+
+
+def _if_node(node, attrs, env):
+    cond = bool(np.asarray(env[node.input[0]]).reshape(()))
+    branch = attrs["then_branch"] if cond else attrs["else_branch"]
+    return _run_subgraph(branch, env, [])
+
+
+_CONTROL = {"Loop": _loop_node, "If": _if_node}
+
+
+def _exec_nodes(nodes, env: dict) -> None:
+    for node in nodes:
+        attrs = _attrs(node)
+        attrs["__n_outputs__"] = len(node.output)
+        try:
+            if node.op_type in _CONTROL:
+                outs = _CONTROL[node.op_type](node, attrs, env)
+            else:
+                vals = [env[i] if i else None for i in node.input]
+                outs = _OPS[node.op_type](vals, attrs)
+        except Exception as e:  # re-raise with node context
+            raise type(e)(
+                f"{node.op_type} node {node.name or node.output[0]!r}: {e}"
+            ) from e
+        for name, v in zip(node.output, outs):
+            if name:
+                env[name] = v
+
+
 class OnnxGraph:
     """Parsed ONNX model executable with JAX.
 
@@ -927,7 +1004,20 @@ class OnnxGraph:
                             if vi.name not in self.initializers]
         self.output_names = [vi.name for vi in g.output]
         self.metadata = {e.key: e.value for e in self.model.metadata_props}
-        unknown = sorted({n.op_type for n in g.node if n.op_type not in _OPS})
+        known = set(_OPS) | set(_CONTROL)
+
+        def collect(graph, acc):
+            for n in graph.node:
+                if n.op_type not in known:
+                    acc.add(n.op_type)
+                for a in n.attribute:
+                    if a.g is not None:
+                        collect(a.g, acc)
+                    for sub in a.graphs or []:
+                        collect(sub, acc)
+            return acc
+
+        unknown = sorted(collect(g, set()))
         if unknown:
             raise NotImplementedError(
                 f"ONNX ops not supported by the JAX executor: {unknown}")
@@ -936,19 +1026,7 @@ class OnnxGraph:
         env = dict(self.initializers)
         for name, value in feeds.items():
             env[name] = value
-        for node in self.graph.node:
-            attrs = _attrs(node)
-            attrs["__n_outputs__"] = len(node.output)
-            vals = [env[i] if i else None for i in node.input]
-            try:
-                outs = _OPS[node.op_type](vals, attrs)
-            except Exception as e:  # re-raise with node context
-                raise type(e)(
-                    f"{node.op_type} node {node.name or node.output[0]!r}: {e}"
-                ) from e
-            for name, v in zip(node.output, outs):
-                if name:
-                    env[name] = v
+        _exec_nodes(self.graph.node, env)
         return [env[n] for n in self.output_names]
 
     def jit(self):

@@ -130,3 +130,25 @@ def test_pipeline_stage_with_onnx_rmvpe(rmvpe_tree):
         None, audio, jnp.float32(0.0), jnp.float32(0.0)))
     ref = np.asarray(rmvpe_onnx_infer(graph, audio))
     np.testing.assert_allclose(f0, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_rmvpe_export_dynamic_frames(rmvpe_tree):
+    """Our rmvpe salience net exports with a DYNAMIC frame axis: the
+    U-Net's /32-divisible mel axis is declared as "32*t" and the fused
+    BiGRU lowers to an ONNX Loop, so one .onnx serves any frame count
+    (torch rmvpe.onnx graphs are dynamic the same way)."""
+    from rvc_maker_tpu.models import rmvpe as rmvpe_mod
+
+    mel_ex = jnp.zeros((1, 128, 64), jnp.float32)
+    model = export_onnx(rmvpe_mod.e2e_apply, (mel_ex,), params=rmvpe_tree,
+                        input_names=["mel"], output_names=["hidden"],
+                        dynamic_axes={"mel": {2: "32*t"}})
+    assert any(n.op_type == "Loop" for n in model.graph.node)
+    graph = OnnxGraph(model)
+    for T in (32, 64):
+        mel = jnp.asarray(np.random.RandomState(T)
+                          .randn(1, 128, T).astype(np.float32))
+        ref = np.asarray(rmvpe_mod.e2e_apply(rmvpe_tree, mel))
+        got = np.asarray(graph.run({"mel": np.asarray(mel)})[0])
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(ref, got, atol=1e-4, rtol=1e-4)

@@ -239,3 +239,53 @@ def test_dynamic_expression_axis_binding():
                        np.zeros((2, 32), np.float32)),
                   {0: {1: "t"}, 1: {1: "4*t"}},
                   [((2, 8), (2, 32)), ((2, 11), (2, 44))])
+
+
+def test_dynamic_scan_lowers_to_loop():
+    """lax.scan over a symbolic length becomes an ONNX Loop (forward and
+    reverse); one graph serves multiple sequence lengths."""
+    W = np.asarray(RS.randn(4, 4), np.float32) * 0.3
+
+    def fn(x):
+        def step(h, xt):
+            h = jnp.tanh(xt + h @ jnp.asarray(W))
+            return h, h
+
+        h0 = jnp.zeros((x.shape[0], 4), x.dtype)
+        xs = jnp.swapaxes(x, 0, 1)
+        hT, ys = jax.lax.scan(step, h0, xs)
+        hR, ysR = jax.lax.scan(step, h0, xs, reverse=True)
+        return hT, jnp.swapaxes(ys, 0, 1), hR, jnp.swapaxes(ysR, 0, 1)
+
+    model = export_onnx(fn, (np.zeros((2, 8, 4), np.float32),),
+                        input_names=["x"],
+                        output_names=["hT", "ys", "hR", "ysR"],
+                        dynamic_axes={"x": {1: "t"}})
+    assert any(n.op_type == "Loop" for n in model.graph.node)
+    g = OnnxGraph(op.decode(op.ModelProto, op.encode(model)))
+    for T in (8, 13):
+        xt = np.asarray(RS.randn(2, T, 4), np.float32)
+        ref = [np.asarray(o) for o in fn(jnp.asarray(xt))]
+        got = [np.asarray(o) for o in g.run({"x": xt})]
+        for r, q in zip(ref, got):
+            assert r.shape == q.shape
+            np.testing.assert_allclose(r, q, rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_composite_axis_binding():
+    """An input whose only symbolic axis is k*v (no plain-v input) still
+    binds v via Shape // k."""
+    def fn(x):
+        b, t4 = x.shape
+        t = t4 // 4
+        return x.reshape(b, t, 4).sum(axis=2)
+
+    model = export_onnx(fn, (np.zeros((2, 32), np.float32),),
+                        input_names=["x"], output_names=["y"],
+                        dynamic_axes={"x": {1: "4*t"}})
+    g = OnnxGraph(op.decode(op.ModelProto, op.encode(model)))
+    for T4 in (32, 48):
+        xt = np.asarray(RS.randn(2, T4), np.float32)
+        ref = np.asarray(fn(jnp.asarray(xt)))
+        got = np.asarray(g.run({"x": xt})[0])
+        np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-5)

@@ -456,3 +456,93 @@ def test_gru_under_jit():
     jitted = np.asarray(jax.jit(lambda a: g.run({"x": a})[0])(
         jnp.asarray(x)))
     np.testing.assert_allclose(jitted, eager, rtol=1e-5, atol=1e-5)
+
+
+# -- control flow: Loop / If -------------------------------------------------
+
+def subgraph(nodes, inputs, outputs, initializers=None):
+    return op.GraphProto(
+        name="body", node=nodes,
+        input=[op.ValueInfoProto(name=i) for i in inputs],
+        output=[op.ValueInfoProto(name=o) for o in outputs],
+        initializer=[op.tensor_from_array(v, k)
+                     for k, v in (initializers or {}).items()])
+
+
+def graph_attr(n, name, g):
+    a = op.AttributeProto(name=name)
+    a.type, a.g = op.ATTR_GRAPH, g
+    n.attribute.append(a)
+    return n
+
+
+def test_loop_accumulate_and_scan():
+    """x_{i+1} = x_i + step; scan output collects each iterate.  The body
+    references `step` from the OUTER scope (ONNX scoping rules)."""
+    body = subgraph(
+        [node("Add", ["v_in", "step"], ["v_out"]),
+         node("Identity", ["cond_in"], ["cond_out"]),
+         node("Unsqueeze", ["v_out", "axes0"], ["scan_el"])],
+        ["iter", "cond_in", "v_in"], ["cond_out", "v_out", "scan_el"],
+        {"axes0": np.asarray([0], np.int64)})
+    ln = graph_attr(node("Loop", ["M", "cond", "v0"], ["vf", "scans"]),
+                    "body", body)
+    g = graph([ln], ["M", "v0"], ["vf", "scans"],
+              {"step": np.asarray([1.0, 2.0], np.float32),
+               "cond": np.asarray(True)})
+    outs = g.run({"M": np.asarray(4, np.int64),
+                  "v0": np.zeros(2, np.float32)})
+    vf, scans = np.asarray(outs[0]), np.asarray(outs[1])
+    np.testing.assert_allclose(vf, [4.0, 8.0])
+    # scan: each iteration's v unsqueezed to (1, 2), stacked -> (4, 1, 2)
+    np.testing.assert_allclose(scans[:, 0, 0], [1, 2, 3, 4])
+
+
+def test_loop_early_termination():
+    """cond_out goes False once the accumulator passes a threshold."""
+    body = subgraph(
+        [node("Add", ["v_in", "one"], ["v_out"]),
+         node("Less", ["v_out", "limit"], ["cond_out"])],
+        ["iter", "cond_in", "v_in"], ["cond_out", "v_out"],
+        {"one": np.asarray(1.0, np.float32),
+         "limit": np.asarray(3.5, np.float32)})
+    ln = graph_attr(node("Loop", ["M", "cond", "v0"], ["vf"]), "body", body)
+    g = graph([ln], ["M", "v0"], ["vf"], {"cond": np.asarray(True)})
+    vf = run1(g, M=np.asarray(100, np.int64), v0=np.asarray(0.0, np.float32))
+    assert vf == 4.0  # stops after producing 4.0 (4.0 < 3.5 is False)
+
+
+def test_if_branches():
+    then_g = subgraph([node("Mul", ["x", "two"], ["o"])], [], ["o"],
+                      {"two": np.asarray(2.0, np.float32)})
+    else_g = subgraph([node("Neg", ["x"], ["o"])], [], ["o"])
+    ifn = node("If", ["c"], ["y"])
+    graph_attr(ifn, "then_branch", then_g)
+    graph_attr(ifn, "else_branch", else_g)
+    g = graph([ifn], ["c", "x"], ["y"])
+    assert run1(g, c=np.asarray(True), x=np.asarray(3.0, np.float32)) == 6.0
+    assert run1(g, c=np.asarray(False), x=np.asarray(3.0, np.float32)) == -3.0
+
+
+def test_loop_under_jit_with_shape_trip_count():
+    """Trip count derived from Shape() stays concrete under jax tracing,
+    so a shape-driven Loop jit-compiles (unrolled at trace time)."""
+    import jax, jax.numpy as jnp
+
+    body = subgraph(
+        [node("Add", ["acc", "row_sum"], ["acc_out"]),
+         node("Identity", ["cond_in"], ["cond_out"])],
+        ["iter", "cond_in", "acc"], ["cond_out", "acc_out"])
+    shp = node("Shape", ["x"], ["xs"])
+    m = node("Gather", ["xs", "zero"], ["M"], axis=0)
+    rs = node("ReduceSum", ["x"], ["row_sum"], keepdims=0)
+    ln = graph_attr(node("Loop", ["M", "cond", "v0"], ["vf"]), "body", body)
+    g = graph([shp, m, rs, ln], ["x", "v0"], ["vf"],
+              {"zero": np.asarray(0, np.int64), "cond": np.asarray(True)})
+    x = RS.randn(3, 4).astype(np.float32)
+    want = 3 * x.sum()
+    got_eager = run1(g, x=x, v0=np.asarray(0.0, np.float32))
+    got_jit = jax.jit(lambda a: g.run({"x": a, "v0": jnp.float32(0.0)})[0])(
+        jnp.asarray(x))
+    np.testing.assert_allclose(got_eager, want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_jit), want, rtol=1e-5)
