@@ -101,3 +101,24 @@ def test_mean_median_filters():
     np.testing.assert_allclose(m[0, 1], 2.0)       # [1, nan, 3] -> 2
     md = jcrepe.median_filter(x, 3)
     assert md.shape == x.shape
+
+
+def test_onnx_export_dynamic_frames(ref_and_params):
+    """The real CREPE net exports with a dynamic frame axis: one .onnx
+    serves any frame count (real crepe .onnx graphs are dynamic-N)."""
+    from rvc_maker_tpu.interop.onnx_export import export_onnx
+    from rvc_maker_tpu.interop.onnx_run import OnnxGraph
+
+    _, _, params = ref_and_params
+    model = export_onnx(jcrepe.crepe_apply,
+                        (jnp.zeros((8, 1024), jnp.float32),),
+                        params=params, input_names=["frames"],
+                        output_names=["probs"],
+                        dynamic_axes={"frames": {0: "n"}})
+    g = OnnxGraph(model)
+    for n in (8, 19):
+        fr = np.random.RandomState(n).randn(n, 1024).astype(np.float32)
+        ref = np.asarray(jcrepe.crepe_apply(params, jnp.asarray(fr)))
+        got = np.asarray(g.run({"frames": fr})[0])
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -122,3 +122,23 @@ def test_legacy_key_mapping(ref_mod):
         )))).numpy()
     ours = np.asarray(jfcpe.salience(params, jnp.asarray(mel)))
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_onnx_export_dynamic_frames(net_and_params):
+    """The real FCPE salience net exports with a dynamic frame axis
+    (matches shipped fcpe .onnx graphs)."""
+    from rvc_maker_tpu.interop.onnx_export import export_onnx
+    from rvc_maker_tpu.interop.onnx_run import OnnxGraph
+
+    _, params = net_and_params
+    model = export_onnx(jfcpe.salience,
+                        (jnp.zeros((1, 40, 128), jnp.float32),),
+                        params=params, input_names=["mel"],
+                        output_names=["sal"], dynamic_axes={"mel": {1: "t"}})
+    g = OnnxGraph(model)
+    for t in (40, 73):
+        mel = np.random.RandomState(t).randn(1, t, 128).astype(np.float32)
+        ref = np.asarray(jfcpe.salience(params, jnp.asarray(mel)))
+        got = np.asarray(g.run({"mel": mel})[0])
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
