@@ -475,6 +475,60 @@ def _einsum(vals, attrs):
     return [jnp.einsum(attrs["equation"], *[jnp.asarray(v) for v in vals])]
 
 
+# -- random ops (torch-traced noise: SineGen dither, z noise) ---------------
+#
+# torch.onnx traces torch.randn/rand into RandomNormal(Like)/
+# RandomUniform(Like).  Sampling runs host-side numpy: deterministic per
+# seed attr (or a fixed default), and constant-folded under jax tracing —
+# the same "noise is explicit/fixed" stance as our parity mode.  Callers
+# needing fresh noise per run re-execute eagerly.
+
+def _random_state(attrs):
+    seed = attrs.get("seed")
+    return np.random.RandomState(
+        np.uint32(abs(int(seed))) if seed is not None else 0x5EED)
+
+
+def _random_dtype(attrs, like=None):
+    if "dtype" in attrs:
+        return _ONNX_TO_NP_DT[attrs["dtype"]]
+    if like is not None:
+        return np.asarray(like).dtype if _is_np(like) else like.dtype
+    return np.dtype(np.float32)
+
+
+@_op("RandomNormal")
+def _random_normal(vals, attrs):
+    rs = _random_state(attrs)
+    out = rs.normal(attrs.get("mean", 0.0), attrs.get("scale", 1.0),
+                    size=tuple(attrs["shape"]))
+    return [out.astype(_random_dtype(attrs))]
+
+
+@_op("RandomNormalLike")
+def _random_normal_like(vals, attrs):
+    rs = _random_state(attrs)
+    out = rs.normal(attrs.get("mean", 0.0), attrs.get("scale", 1.0),
+                    size=tuple(np.shape(vals[0])))
+    return [out.astype(_random_dtype(attrs, vals[0]))]
+
+
+@_op("RandomUniform")
+def _random_uniform(vals, attrs):
+    rs = _random_state(attrs)
+    out = rs.uniform(attrs.get("low", 0.0), attrs.get("high", 1.0),
+                     size=tuple(attrs["shape"]))
+    return [out.astype(_random_dtype(attrs))]
+
+
+@_op("RandomUniformLike")
+def _random_uniform_like(vals, attrs):
+    rs = _random_state(attrs)
+    out = rs.uniform(attrs.get("low", 0.0), attrs.get("high", 1.0),
+                     size=tuple(np.shape(vals[0])))
+    return [out.astype(_random_dtype(attrs, vals[0]))]
+
+
 # -- recurrent ops (torch-exported RMVPE BiGRU / separator LSTMs) -----------
 
 def _rnn_common(vals, attrs, n_gates):

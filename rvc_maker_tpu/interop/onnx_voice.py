@@ -155,6 +155,8 @@ class OnnxVoiceModel:
         self.info = json.loads(md["model_info"])
         self.version = self.info.get("version", "v1")
         self.use_f0 = bool(self.info.get("f0", 1))
+        import dataclasses as _dc
+
         if "config_list" in md:
             self.cfg = model_config_from_ckpt_list(
                 json.loads(md["config_list"]), use_f0=self.use_f0,
@@ -162,14 +164,33 @@ class OnnxVoiceModel:
                 vocoder=self.info.get("vocoder", "Default"))
             emb = self.info.get("text_enc_hidden_dim")
             if emb and emb != self.cfg.text_enc_hidden_dim:
-                import dataclasses as _dc
-
                 self.cfg = _dc.replace(self.cfg, text_enc_hidden_dim=int(emb))
+            self.torch_layout = md.get("layout") != "NTC"
         else:
-            raise ValueError(
-                f"{path}: missing config_list metadata. Re-export with "
-                "rvc_maker_tpu (torch-exported graphs lack the hparams "
-                "needed to size noise inputs)")
+            # torch-exported graph (the reference onnx_exporter embeds
+            # only model_info, onnx_export.py:50): RVC checkpoints are
+            # always preset-shaped, so rebuild the config from
+            # (version, sr) and take inter_channels from the graph's own
+            # `rnd` input (1, inter, T).  Best-effort pending validation
+            # against a real torch export (real_weights_checklist.md).
+            from ..config import preset
+
+            sr = int(self.info.get("sr", 40000))
+            self.cfg = preset(self.version, sr).model
+            emb = self.info.get("text_enc_hidden_dim")
+            if emb:
+                self.cfg = _dc.replace(self.cfg,
+                                       text_enc_hidden_dim=int(emb))
+            if not self.use_f0 and self.cfg.use_f0:
+                self.cfg = _dc.replace(self.cfg, use_f0=False)
+            for vi in self.graph.graph.input:
+                if vi.name == "rnd" and vi.type is not None:
+                    dims = vi.type.tensor_type.shape.dim
+                    if len(dims) == 3 and dims[1].dim_value:
+                        self.cfg = _dc.replace(
+                            self.cfg,
+                            inter_channels=int(dims[1].dim_value))
+            self.torch_layout = True  # rnd rides (1, inter, T)
         mf = md.get("max_frames", "")
         # dynamic-axes graphs (ours by default, and torch exports) have no
         # fixed capacity; min_frames is the rel-attention band minimum
@@ -209,6 +230,8 @@ class OnnxVoiceModel:
         else:
             elems = (feats, frame_lengths[:, None], sid[:, None], z_noise)
 
+        known = set(self.graph.input_names)
+
         def per_sample(xs):
             if self.use_f0:
                 f, fl, p, pf, s, zn, sn = xs
@@ -219,6 +242,13 @@ class OnnxVoiceModel:
                 f, fl, s, zn = xs
                 feeds = {"phone": f[None], "phone_lengths": fl,
                          "ds": s, "rnd": zn[None]}
+            if self.torch_layout:
+                # torch convention: rnd is (1, inter, T), no sine_noise
+                # input (the graph traces its own noise), audio may keep
+                # a channel dim
+                feeds["rnd"] = jnp.swapaxes(feeds["rnd"], 1, 2)
+                feeds = {k: v for k, v in feeds.items() if k in known}
+                return jnp.asarray(self.graph.run(feeds)[0]).reshape(-1)
             return self.graph.run(feeds)[0][0]
 
         wav = jax.lax.map(per_sample, elems)

@@ -546,3 +546,23 @@ def test_loop_under_jit_with_shape_trip_count():
         jnp.asarray(x))
     np.testing.assert_allclose(got_eager, want, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_jit), want, rtol=1e-5)
+
+
+# -- random ops (torch-traced noise) ----------------------------------------
+
+def test_random_normal_deterministic_and_shaped():
+    g = graph([node("RandomNormal", [], ["y"], shape=[64, 32],
+                    mean=1.5, scale=0.5, dtype=1)], [], ["y"])
+    a = run1(g)
+    b = run1(g)
+    assert a.shape == (64, 32) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)  # seeded: stable across runs
+    assert abs(a.mean() - 1.5) < 0.1 and abs(a.std() - 0.5) < 0.1
+
+
+def test_random_uniform_like_bounds():
+    g = graph([node("RandomUniformLike", ["x"], ["y"], low=2.0, high=3.0)],
+              ["x"], ["y"])
+    y = run1(g, x=np.zeros((50, 40), np.float32))
+    assert y.shape == (50, 40)
+    assert y.min() >= 2.0 and y.max() <= 3.0 and y.std() > 0.1

@@ -261,3 +261,60 @@ def test_dynamic_convert_pipeline_equals_pth(onnx_dynamic_path):
     np.testing.assert_allclose(np.asarray(wav_onnx)[:, :-guard],
                                np.asarray(wav_pth)[:, :-guard],
                                rtol=1e-3, atol=2e-3)
+
+
+# -- torch-exported graph conventions (reference onnx_exporter output) ------
+
+def test_torch_convention_graph_loads_and_runs(tmp_path):
+    """A graph shaped like the reference's torch.onnx export — model_info
+    metadata only (no config_list), rnd in (1, inter, T) channel-first,
+    no sine_noise input, audio with a channel dim — must load via the
+    preset-reconstruction fallback and convert."""
+    from rvc_maker_tpu.config import preset
+    from rvc_maker_tpu.interop.onnx_export import export_onnx
+
+    cfg = preset("v2", 32000).model
+    T, emb, inter, upp = 20, 768, cfg.inter_channels, cfg.upp
+
+    def stub(phone, phone_lengths, ds, rnd, pitch, pitchf):
+        v = (phone.mean() + rnd.mean()
+             + pitchf.mean() * 1e-3 + ds.sum() * 0.0)
+        return jnp.broadcast_to(v, (1, 1, T * upp))
+
+    args = (jnp.zeros((1, T, emb), jnp.float32),
+            jnp.asarray([T], jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, inter, T), jnp.float32),
+            jnp.zeros((1, T), jnp.int32),
+            jnp.zeros((1, T), jnp.float32))
+    model = export_onnx(
+        stub, args,
+        input_names=["phone", "phone_lengths", "ds", "rnd", "pitch",
+                     "pitchf"],
+        output_names=["audio"],
+        metadata={"model_info": json.dumps(
+            {"sr": 32000, "f0": 1, "version": "v2",
+             "text_enc_hidden_dim": 768, "vocoder": "Default"})})
+    path = str(tmp_path / "torch_style.onnx")
+    proto.save_model(model, path)
+
+    vm, vm_cfg, info = load_voice_model(path)
+    assert isinstance(vm, OnnxVoiceModel)
+    assert vm.torch_layout and vm.dynamic
+    assert vm_cfg.sr == 32000 and vm_cfg.inter_channels == inter
+    assert vm_cfg.upp == upp
+
+    rs = np.random.RandomState(0)
+    phone = jnp.asarray(rs.randn(1, T, emb).astype(np.float32))
+    z = jnp.asarray(rs.randn(1, T, inter).astype(np.float32))
+    pitchf = jnp.asarray(rs.uniform(100, 300, (1, T)).astype(np.float32))
+    wav = np.asarray(vm.synth(
+        phone, jnp.asarray([T], jnp.int32),
+        jnp.asarray(rs.randint(1, 255, (1, T)), jnp.int32), pitchf,
+        jnp.asarray([0], jnp.int32), z,
+        jnp.asarray(rs.randn(1, T * upp, 1).astype(np.float32))))
+    assert wav.shape == (1, T * upp)
+    want = (np.asarray(phone).mean() + np.asarray(z).mean()
+            + np.asarray(pitchf).mean() * 1e-3)
+    np.testing.assert_allclose(wav, np.full((1, T * upp), want),
+                               rtol=1e-4, atol=1e-5)
