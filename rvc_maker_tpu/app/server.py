@@ -528,7 +528,8 @@ class Handler(BaseHTTPRequestHandler):
 
                 out = export_voice_model(
                     req["model"], req["output"],
-                    max_frames=int(req.get("max_frames", 800)))
+                    max_frames=int(req.get("max_frames", 800)),
+                    dynamic=not req.get("static", False))
                 self._json({"output": out})
             elif self.path == "/api/f0_extract":
                 self._api_f0_extract(req)
