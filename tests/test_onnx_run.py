@@ -566,3 +566,14 @@ def test_random_uniform_like_bounds():
     y = run1(g, x=np.zeros((50, 40), np.float32))
     assert y.shape == (50, 40)
     assert y.min() >= 2.0 and y.max() <= 3.0 and y.std() > 0.1
+
+
+def test_unknown_op_inside_subgraph_rejected_at_load():
+    """Op coverage validation must descend into Loop/If bodies so an
+    unsupported op fails at load, not mid-run."""
+    body = subgraph([node("NotARealOp", ["v_in"], ["v_out"]),
+                     node("Identity", ["cond_in"], ["cond_out"])],
+                    ["iter", "cond_in", "v_in"], ["cond_out", "v_out"])
+    ln = graph_attr(node("Loop", ["M", "cond", "v0"], ["vf"]), "body", body)
+    with pytest.raises(NotImplementedError, match="NotARealOp"):
+        graph([ln], ["M", "cond", "v0"], ["vf"])
