@@ -1,0 +1,75 @@
+"""At-rest decryption for the reference's released model files.
+
+The reference distributes its FCPE predictor files (fcpe.pt /
+fcpe_legacy.pt and the .onnx variants) AES-256-CBC encrypted; the 32-byte
+key ships with the reference itself at main/configs/decrypt.bin and the
+layout is IV = first 16 bytes of the file, PKCS7-padded ciphertext after
+(reference main/library/predictors/FCPE.py:28-40 `decrypt_model`).
+
+The key below is that shipped key (it is distribution data, not code —
+without it no released FCPE checkpoint can be opened).  Plain files pass
+through untouched, so every loader can call `maybe_decrypt` blindly.
+"""
+
+from __future__ import annotations
+
+# main/configs/decrypt.bin, hex-encoded (32 bytes = AES-256).
+REFERENCE_MODEL_KEY = bytes.fromhex(
+    "5ec540c17600fbc22913a7cf03b810bacedd9ac1aaa92e1445b43702dec43b2d")
+
+
+def encrypt_model_bytes(plain: bytes, key: bytes = REFERENCE_MODEL_KEY,
+                        iv: bytes = b"\0" * 16) -> bytes:
+    """Inverse of decrypt_model_bytes (for tests / re-publishing)."""
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+
+    pad = 16 - len(plain) % 16
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return iv + enc.update(plain + bytes([pad]) * pad) + enc.finalize()
+
+
+def decrypt_model_bytes(data: bytes,
+                        key: bytes = REFERENCE_MODEL_KEY) -> bytes:
+    """AES-256-CBC decrypt an encrypted model file (IV ++ ciphertext).
+
+    Raises ValueError if the result is not valid PKCS7 (wrong key, or the
+    file was never encrypted).
+    """
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+
+    if len(data) < 32 or (len(data) - 16) % 16:
+        raise ValueError("not an encrypted model file (bad length)")
+    dec = Cipher(algorithms.AES(key), modes.CBC(data[:16])).decryptor()
+    plain = dec.update(data[16:]) + dec.finalize()
+    pad = plain[-1]
+    if not 1 <= pad <= 16 or plain[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad PKCS7 padding — wrong key or plain file")
+    return plain[:-pad]
+
+
+def _looks_plain(data: bytes) -> bool:
+    """True if data is already a recognisable model container."""
+    if data[:2] == b"PK":                       # zip (torch >=1.6 .pt)
+        return True
+    if data[:1] == b"\x80":                     # bare pickle protocol 2+
+        return True
+    if data[:2] in (b"\x08\x01", b"\x08\x02", b"\x08\x03", b"\x08\x04",
+                    b"\x08\x05", b"\x08\x06", b"\x08\x07", b"\x08\x08",
+                    b"\x08\x09", b"\x08\x0a"):  # ONNX pb: ir_version varint
+        return True
+    return False
+
+
+def maybe_decrypt(data: bytes, key: bytes = REFERENCE_MODEL_KEY) -> bytes:
+    """Return data decrypted if it is an encrypted model file, else as-is."""
+    if len(data) < 32 or _looks_plain(data):
+        return data
+    try:
+        plain = decrypt_model_bytes(data, key)
+    except ValueError:
+        return data
+    # Only accept the decryption if it produced a recognisable container;
+    # otherwise this was some other binary format — hand it back untouched.
+    return plain if _looks_plain(plain) else data

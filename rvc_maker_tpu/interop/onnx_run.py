@@ -1049,7 +1049,16 @@ class OnnxGraph:
         if isinstance(model_or_path, op.ModelProto):
             self.model = model_or_path
         else:
-            self.model = op.load_model(model_or_path)
+            # The reference's released fcpe*.onnx files are AES-encrypted
+            # at rest (FCPE.py:28-40, 776); plain files pass through.
+            from .modelcrypt import maybe_decrypt
+
+            if isinstance(model_or_path, (bytes, bytearray)):
+                raw = bytes(model_or_path)
+            else:
+                with open(model_or_path, "rb") as fh:
+                    raw = fh.read()
+            self.model = op.load_model(maybe_decrypt(raw))
         g = self.model.graph
         self.graph = g
         self.initializers = {t.name: op.array_from_tensor(t)

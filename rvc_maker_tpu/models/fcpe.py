@@ -278,10 +278,20 @@ def params_from_state_dict(sd, *, legacy: bool = False,
 
 def load_fcpe_ckpt(path: str) -> tuple[Params, bool]:
     """Load fcpe.pt / fcpe_legacy.pt -> (params, legacy_flag).
-    (Encrypted .onnx variants are not supported — no onnxruntime here.)"""
+
+    The released checkpoints are AES-256-CBC encrypted at rest with the
+    key the reference ships (FCPE.py:28-40); plain files load unchanged.
+    """
+    import io
+
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    from ..interop.modelcrypt import maybe_decrypt
+
+    with open(path, "rb") as fh:
+        raw = maybe_decrypt(fh.read())
+    ckpt = torch.load(io.BytesIO(raw), map_location="cpu",
+                      weights_only=False)
     sd = ckpt["model"]
     legacy = "config" in ckpt  # legacy ckpts carry "config", current "config_dict"
     return params_from_state_dict(sd, legacy=legacy), legacy

@@ -804,13 +804,25 @@ def _frame_rms(x: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
     return np.sqrt(np.mean(np.square(xp[idx]), axis=1))
 
 
+def _interp_half_pixel(v: np.ndarray, t: int) -> np.ndarray:
+    """Linear resample of v to t samples with half-pixel coordinates —
+    torch F.interpolate(mode="linear", align_corners=False) numerics."""
+    n = len(v)
+    x = np.clip((np.arange(t) + 0.5) * (n / t) - 0.5, 0.0, n - 1.0)
+    i0 = np.floor(x).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n - 1)
+    w = x - i0
+    return v[i0] * (1.0 - w) + v[i1] * w
+
+
 def change_rms(source: np.ndarray, source_sr: int, target: np.ndarray,
                target_sr: int, rate: float) -> np.ndarray:
-    """RMS volume-envelope mixing (reference convert.py:150-152)."""
+    """RMS volume-envelope mixing (reference convert.py:150-152): frame
+    RMS of source and target, half-pixel linear upsample to waveform
+    length, scale by rms1^(1-rate) * rms2^(rate-1); only rms2 floored."""
     rms1 = _frame_rms(source, source_sr // 2 * 2, source_sr // 2)
     rms2 = _frame_rms(target, target_sr // 2 * 2, target_sr // 2)
     t = len(target)
-    x1 = np.interp(np.linspace(0, len(rms1) - 1, t), np.arange(len(rms1)), rms1)
-    x2 = np.interp(np.linspace(0, len(rms2) - 1, t), np.arange(len(rms2)), rms2)
-    x2 = np.maximum(x2, 1e-6)
+    x1 = _interp_half_pixel(rms1.astype(np.float32), t)
+    x2 = np.maximum(_interp_half_pixel(rms2.astype(np.float32), t), 1e-6)
     return (target * (np.power(x1, 1 - rate) * np.power(x2, rate - 1))).astype(np.float32)
