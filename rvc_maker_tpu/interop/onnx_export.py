@@ -40,6 +40,56 @@ def _is_static_dim(d) -> bool:
     return isinstance(d, (int, np.integer))
 
 
+# -- _DimExpr introspection adapter -----------------------------------------
+#
+# Shape polymorphism forces us into jax's PRIVATE symbolic-dim API
+# (_DimExpr._sorted_terms / _DimTerm._factors / _DimFactor.var/.operands/
+# .operation).  Every such access goes through the helpers below so that a
+# jax upgrade that changes the internals surfaces as one clear
+# "dynamic export unsupported on this jax version" error instead of an
+# opaque AttributeError deep in the lowering.
+
+def _dim_api_error(e: Exception) -> Exception:
+    return NotImplementedError(
+        "dynamic (shape-polymorphic) ONNX export is unsupported on this "
+        f"jax version ({jax.__version__}): the private symbolic-dimension "
+        f"API changed ({type(e).__name__}: {e}). Export with static shapes "
+        "(dynamic_axes=None) or pin a known-good jax version.")
+
+
+def _dim_sorted_terms(d):
+    """[(term, coeff)] of a symbolic dim expression."""
+    try:
+        return d._sorted_terms
+    except AttributeError as e:
+        raise _dim_api_error(e) from e
+
+
+def _term_factors(term):
+    """[(factor, exponent)] of one term."""
+    try:
+        return term._factors
+    except AttributeError as e:
+        raise _dim_api_error(e) from e
+
+
+def _factor_parts(f):
+    """(var, operation, operands) of one factor; var is None for op nodes."""
+    try:
+        return f.var, (None if f.var is not None else f.operation), \
+            (None if f.var is not None else f.operands)
+    except AttributeError as e:
+        raise _dim_api_error(e) from e
+
+
+def _dim_to_var(d):
+    """The plain variable name if d is a bare dim variable, else None."""
+    try:
+        return d._to_var()
+    except AttributeError as e:
+        raise _dim_api_error(e) from e
+
+
 def _static_shape(shape) -> bool:
     return all(_is_static_dim(d) for d in shape)
 
@@ -96,7 +146,7 @@ class OnnxBuilder:
         if key in self._dim_cache:
             return self._dim_cache[key]
         acc = None
-        for term, coeff in d._sorted_terms:
+        for term, coeff in _dim_sorted_terms(d):
             t = self._dim_term(term)
             if t is None:  # constant term
                 part = self.const(np.asarray(int(coeff), np.int64), "dim")
@@ -111,7 +161,7 @@ class OnnxBuilder:
 
     def _dim_term(self, term):
         acc = None
-        for f, exp in term._factors:
+        for f, exp in _term_factors(term):
             base = self._dim_factor(f)
             cur = base
             for _ in range(int(exp) - 1):
@@ -120,19 +170,20 @@ class OnnxBuilder:
         return acc  # None for the empty (constant) term
 
     def _dim_factor(self, f) -> str:
-        if f.var is not None:
-            if f.var not in self.dim_vars:
+        var, operation, operands = _factor_parts(f)
+        if var is not None:
+            if var not in self.dim_vars:
                 raise ValueError(
-                    f"symbolic dim '{f.var}' is not bound to any input axis; "
+                    f"symbolic dim '{var}' is not bound to any input axis; "
                     f"name it as a plain axis of some input in dynamic_axes")
-            return self.dim_vars[f.var]
-        a, c = f.operands
+            return self.dim_vars[var]
+        a, c = operands
         x, y = self.dim_scalar(a), self.dim_scalar(c)
         onnx_of = {f.FLOORDIV: "Div", f.MOD: "Mod",
                    f.MAX: "Max", f.MIN: "Min"}
-        if f.operation not in onnx_of:
-            raise NotImplementedError(f"dim operation {f.operation}")
-        return self.add(onnx_of[f.operation], [x, y])
+        if operation not in onnx_of:
+            raise NotImplementedError(f"dim operation {operation}")
+        return self.add(onnx_of[operation], [x, y])
 
     def shape_vec(self, shape, hint="shp") -> str:
         """Sequence of int|DimExpr -> name of a 1-D int64 shape tensor."""
@@ -791,12 +842,23 @@ def _scan_loop(b, eqn, ins):
     # scan outputs: the runtime stacks each iteration's value along a new
     # axis 0 ((trip, *per_iter_shape)) — exactly jax's ys stacking
     ys_out = [cb.add("Identity", [o]) for o in outs[n_carry:]]
+    # The ONNX IR requires subgraph inputs/outputs to carry type info
+    # (onnx.checker / onnxruntime reject untyped ones): iter is an int64
+    # scalar, cond a bool scalar, carries/ys take their jaxpr avals.
+    carry_avals = [v.aval for v in
+                   closed.jaxpr.invars[n_consts:n_consts + n_carry]]
+    ys_avals = [v.aval for v in closed.jaxpr.outvars[n_carry:]]
     body = op.GraphProto(
         name=b.fresh("scan_body"), node=cb.nodes,
-        input=[op.ValueInfoProto(name=nm)
-               for nm in [iter_in, cond_in] + carry_in],
-        output=[op.ValueInfoProto(name=nm)
-                for nm in [cond_out] + carry_out + ys_out])
+        input=[_value_info(iter_in, shape=(), dtype=np.int64),
+               _value_info(cond_in, shape=(), dtype=np.bool_)]
+              + [_value_info(nm, aval=a)
+                 for nm, a in zip(carry_in, carry_avals)],
+        output=[_value_info(cond_out, shape=(), dtype=np.bool_)]
+               + [_value_info(nm, aval=a)
+                  for nm, a in zip(carry_out, carry_avals)]
+               + [_value_info(nm, aval=a)
+                  for nm, a in zip(ys_out, ys_avals)])
     loop_outs = b.add("Loop",
                       [b.dim_scalar(length), b.const(np.asarray(True))]
                       + carry0,
@@ -974,16 +1036,17 @@ def export_onnx(fn, example_args, *, params=None, input_names,
         # v = Shape(input)[axis] // k (e.g. RMVPE's 32-divisible frame
         # axis declared as "32*t", or sine noise at "upp*t")
         def solve(d):
-            var = d._to_var()
+            var = _dim_to_var(d)
             if var is not None:
                 return var, 1
-            terms = d._sorted_terms
+            terms = _dim_sorted_terms(d)
             if len(terms) == 1:
                 term, coeff = terms[0]
-                fs = term._factors
-                if (len(fs) == 1 and fs[0][1] == 1
-                        and fs[0][0].var is not None and coeff > 1):
-                    return fs[0][0].var, int(coeff)
+                fs = _term_factors(term)
+                if len(fs) == 1 and fs[0][1] == 1 and coeff > 1:
+                    fvar, _, _ = _factor_parts(fs[0][0])
+                    if fvar is not None:
+                        return fvar, int(coeff)
             return None, None
 
         for i, nm in enumerate(input_names):

@@ -485,8 +485,15 @@ def _einsum(vals, attrs):
 
 def _random_state(attrs):
     seed = attrs.get("seed")
-    return np.random.RandomState(
-        np.uint32(abs(int(seed))) if seed is not None else 0x5EED)
+    if seed is not None:
+        return np.random.RandomState(np.uint32(abs(int(seed))))
+    # Unseeded nodes: mix a stable per-node identifier into the default
+    # seed so distinct noise nodes in one graph (e.g. z noise vs SineGen
+    # dither) decorrelate while staying deterministic across runs.
+    import zlib
+
+    tag = attrs.get("__node_id__", "")
+    return np.random.RandomState(np.uint32(0x5EED ^ zlib.crc32(tag.encode())))
 
 
 def _random_dtype(attrs, like=None):
@@ -574,7 +581,8 @@ def _rnn_directions(attrs, dirs):
     if isinstance(direction, bytes):
         direction = direction.decode()
     want = {"forward": 1, "reverse": 1, "bidirectional": 2}[direction]
-    assert dirs == want, f"W has {dirs} dirs for direction={direction}"
+    if dirs != want:
+        raise ValueError(f"W has {dirs} dirs for direction={direction}")
     return [direction] if want == 1 else ["forward", "reverse"]
 
 
@@ -1023,6 +1031,8 @@ def _exec_nodes(nodes, env: dict) -> None:
     for node in nodes:
         attrs = _attrs(node)
         attrs["__n_outputs__"] = len(node.output)
+        attrs["__node_id__"] = (node.output[0] if node.output
+                                else node.name or "")
         try:
             if node.op_type in _CONTROL:
                 outs = _CONTROL[node.op_type](node, attrs, env)

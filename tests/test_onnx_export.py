@@ -262,6 +262,22 @@ def test_dynamic_scan_lowers_to_loop():
                         output_names=["hT", "ys", "hR", "ysR"],
                         dynamic_axes={"x": {1: "t"}})
     assert any(n.op_type == "Loop" for n in model.graph.node)
+    # the ONNX IR requires subgraph inputs/outputs to carry type info —
+    # onnx.checker/onnxruntime reject untyped ones (iter must be int64,
+    # cond bool, carries/ys their traced dtypes)
+    for n in model.graph.node:
+        if n.op_type != "Loop":
+            continue
+        body = next(a.g for a in n.attribute if a.name == "body")
+        ios = list(body.input) + list(body.output)
+        assert len(body.input) >= 2 and len(body.output) >= 1
+        for vi in ios:
+            assert vi.type is not None and vi.type.tensor_type is not None, \
+                f"untyped Loop body io {vi.name}"
+            assert vi.type.tensor_type.elem_type > 0
+        assert body.input[0].type.tensor_type.elem_type == op._NP_TO_ONNX["int64"]
+        assert body.input[1].type.tensor_type.elem_type == op._NP_TO_ONNX["bool"]
+        assert body.output[0].type.tensor_type.elem_type == op._NP_TO_ONNX["bool"]
     g = OnnxGraph(op.decode(op.ModelProto, op.encode(model)))
     for T in (8, 13):
         xt = np.asarray(RS.randn(2, T, 4), np.float32)
