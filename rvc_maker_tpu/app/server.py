@@ -42,157 +42,158 @@ INDEX_HTML = """<!DOCTYPE html>
  pre{background:#f4f4f4;padding:.8rem;border-radius:6px;overflow:auto}
 </style></head><body>
 <h1>rvc_maker_tpu</h1>
-<fieldset><legend><b>Voice conversion</b></legend>
- <label>Audio (wav)</label><input type="file" id="c_audio"><br>
- <label>Model (.pth path)</label><input id="c_model" size="40"><br>
- <label>Index (.npz/.npy path)</label><input id="c_index" size="40"><br>
- <label>Pitch (semitones)</label><input id="c_pitch" type="number" value="0"><br>
- <label>Index rate</label><input id="c_rate" type="number" step="0.05" value="0.5"><br>
- <label>Protect</label><input id="c_protect" type="number" step="0.01" value="0.33"><br>
- <label>F0 method</label><select id="c_f0"><option>rmvpe</option><option>yin</option>
+<fieldset><legend><b>{{convert_audio}}</b></legend>
+ <label>{{input_audio}}</label><input type="file" id="c_audio"><br>
+ <label>{{model_path}}</label><input id="c_model" size="40"><br>
+ <label>{{index_path}}</label><input id="c_index" size="40"><br>
+ <label>{{pitch}}</label><input id="c_pitch" type="number" value="0"><br>
+ <label>{{index_strength}}</label><input id="c_rate" type="number" step="0.05" value="0.5"><br>
+ <label>{{protect}}</label><input id="c_protect" type="number" step="0.01" value="0.33"><br>
+ <label>{{f0_method}}</label><select id="c_f0"><option>rmvpe</option><option>yin</option>
    <option>dio</option><option>harvest</option><option>swipe</option></select><br>
- <label>RMVPE weights (.pt)</label><input id="c_rmvpe" size="40"><br>
- <label>Embedder (.pt)</label><input id="c_emb" size="40"><br>
- <button onclick="convert()">Convert</button>
+ <label>{{rmvpe_path}}</label><input id="c_rmvpe" size="40"><br>
+ <label>{{embedder_path}}</label><input id="c_emb" size="40"><br>
+ <button onclick="convert()">{{convert_audio}}</button>
  <div id="c_out"></div>
 </fieldset>
-<fieldset><legend><b>Model info</b></legend>
- <label>Model path</label><input id="i_model" size="40">
- <button onclick="info()">Read</button>
+<fieldset><legend><b>{{modelinfo}}</b></legend>
+ <label>{{model_path}}</label><input id="i_model" size="40">
+ <button onclick="info()">{{read_model}}</button>
  <pre id="i_out"></pre>
 </fieldset>
-<fieldset><legend><b>Audio effects</b></legend>
- <label>Audio (wav)</label><input type="file" id="e_audio"><br>
- <label>Reverb</label><input id="e_reverb" type="checkbox">
- <label>room size</label><input id="e_room" type="number" step="0.05" value="0.5"><br>
- <label>Pitch shift (semitones)</label><input id="e_pitch" type="number" value="0"><br>
- <label>Chorus</label><input id="e_chorus" type="checkbox">
- <label>Delay</label><input id="e_delay" type="checkbox">
- <label>Compressor</label><input id="e_comp" type="checkbox">
- <label>Gain (dB)</label><input id="e_gain" type="number" value="0"><br>
- <button onclick="effects()">Apply</button>
+<fieldset><legend><b>{{audio_effects}}</b></legend>
+ <label>{{input_audio}}</label><input type="file" id="e_audio"><br>
+ <label>{{reverb}}</label><input id="e_reverb" type="checkbox">
+ <label>{{room_size}}</label><input id="e_room" type="number" step="0.05" value="0.5"><br>
+ <label>{{pitch}}</label><input id="e_pitch" type="number" value="0"><br>
+ <label>{{chorus}}</label><input id="e_chorus" type="checkbox">
+ <label>{{delay}}</label><input id="e_delay" type="checkbox">
+ <label>{{compressor}}</label><input id="e_comp" type="checkbox">
+ <label>{{gain}}</label><input id="e_gain" type="number" value="0"><br>
+ <button onclick="effects()">{{apply}}</button>
  <div id="e_out"></div>
 </fieldset>
-<fieldset><legend><b>Training</b></legend>
- <label>Experiment dir</label><input id="t_exp" size="40"><br>
- <label>Dataset dir</label><input id="t_data" size="40"><br>
- <label>Sample rate</label><select id="t_sr"><option>48000</option>
+<fieldset><legend><b>{{training_model}}</b></legend>
+ <label>{{training_model_name}}</label><input id="t_exp" size="40"><br>
+ <label>{{dataset_folder}}</label><input id="t_data" size="40"><br>
+ <label>{{sample_rate}}</label><select id="t_sr"><option>48000</option>
    <option>40000</option><option selected>32000</option></select>
- <label>Version</label><select id="t_ver"><option selected>v2</option><option>v1</option></select><br>
- <label>Embedder (.pt)</label><input id="t_emb" size="40"><br>
- <label>Epochs</label><input id="t_epochs" type="number" value="100">
- <label>Batch size</label><input id="t_bs" type="number" value="8"><br>
- <label>Vocoder</label><select id="t_voc"><option selected>Default</option>
+ <label>{{training_version}}</label><select id="t_ver"><option selected>v2</option><option>v1</option></select><br>
+ <label>{{embedder_path}}</label><input id="t_emb" size="40"><br>
+ <label>{{total_epoch}}</label><input id="t_epochs" type="number" value="100">
+ <label>{{batch_size}}</label><input id="t_bs" type="number" value="8"><br>
+ <label>{{vocoder}}</label><select id="t_voc"><option selected>Default</option>
    <option>MRF HiFi-GAN</option><option>RefineGAN</option></select>
- <label>Pitch guidance</label><input id="t_f0" type="checkbox" checked><br>
- <button onclick="job('preprocess')">1. Preprocess</button>
- <button onclick="job('extract')">2. Extract</button>
- <button onclick="job('train')">3. Train</button>
- <button onclick="jobStatus()">Status</button>
+ <label>{{training_pitch}}</label><input id="t_f0" type="checkbox" checked><br>
+ <button onclick="job('preprocess')">{{preprocess_button}}</button>
+ <button onclick="job('extract')">{{extract_button}}</button>
+ <button onclick="job('train')">{{train_button}}</button>
+ <button onclick="jobStatus()">{{status}}</button>
  <pre id="t_out"></pre>
 </fieldset>
-<fieldset><legend><b>Model fusion</b></legend>
- <label>Model A</label><input id="f_a" size="40"><br>
- <label>Model B</label><input id="f_b" size="40"><br>
- <label>Output path</label><input id="f_out_path" size="40"><br>
- <label>Ratio</label><input id="f_ratio" type="number" step="0.05" value="0.5"><br>
- <button onclick="fuse()">Fuse</button>
+<fieldset><legend><b>{{fushion}}</b></legend>
+ <label>{{model_path}} A</label><input id="f_a" size="40"><br>
+ <label>{{model_path}} B</label><input id="f_b" size="40"><br>
+ <label>{{output_path}}</label><input id="f_out_path" size="40"><br>
+ <label>{{model_ratio}}</label><input id="f_ratio" type="number" step="0.05" value="0.5"><br>
+ <button onclick="fuse()">{{fushion}}</button>
  <pre id="f_out"></pre>
 </fieldset>
-<fieldset><legend><b>Vocal separation</b></legend>
- <label>Audio (wav)</label><input type="file" id="s_audio"><br>
- <label>Model (.th/.yaml/.onnx)</label><input id="s_model" size="40"><br>
- <label>MDX n_fft (onnx only)</label><input id="s_nfft" type="number" value="6144">
- <label>hop</label><input id="s_hop" type="number" value="1024"><br>
- <button onclick="separate()">Separate</button>
+<fieldset><legend><b>{{separator_tab}}</b></legend>
+ <label>{{input_audio}}</label><input type="file" id="s_audio"><br>
+ <label>{{separator_model}}</label><input id="s_model" size="40"><br>
+ <label>{{mdx_n_fft}}</label><input id="s_nfft" type="number" value="6144">
+ <label>{{hop_length}}</label><input id="s_hop" type="number" value="1024"><br>
+ <button onclick="separate()">{{separator_tab}}</button>
  <div id="s_out"></div>
 </fieldset>
-<fieldset><legend><b>ONNX export</b></legend>
- <label>Model (.pth)</label><input id="x_model" size="40"><br>
- <label>Output (.onnx)</label><input id="x_out_path" size="40"><br>
- <label>Max frames</label><input id="x_frames" type="number" value="800"><br>
- <button onclick="exportOnnx()">Export</button>
+<fieldset><legend><b>{{pytorch2onnx}}</b></legend>
+ <label>{{model_path}}</label><input id="x_model" size="40"><br>
+ <label>{{output_path}}</label><input id="x_out_path" size="40"><br>
+ <label>{{max_frames}}</label><input id="x_frames" type="number" value="800"><br>
+ <button onclick="exportOnnx()">{{pytorch2onnx}}</button>
  <pre id="x_out"></pre>
 </fieldset>
-<fieldset><legend><b>F0 extractor</b></legend>
- <label>Audio (wav)</label><input type="file" id="p_audio"><br>
- <label>Method</label><select id="p_method"><option>yin</option><option>pyin</option>
+<fieldset><legend><b>{{f0_extractor_tab}}</b></legend>
+ <label>{{input_audio}}</label><input type="file" id="p_audio"><br>
+ <label>{{f0_method}}</label><select id="p_method"><option>yin</option><option>pyin</option>
   <option>swipe</option><option>dio</option><option>harvest</option><option>pm</option></select><br>
- <button onclick="f0Extract()">Extract</button>
+ <button onclick="f0Extract()">{{extract_button}}</button>
  <pre id="p_out"></pre>
 </fieldset>
-<fieldset><legend><b>Audio editing (AudioLDM2)</b></legend>
- <label>Input audio path</label><input id="a_in" size="40"><br>
- <label>Output path</label><input id="a_out_path" size="40" value="audios/output.wav"><br>
- <label>Model</label><select id="a_model"><option selected>audioldm2-music</option>
+<fieldset><legend><b>{{audio_editing}}</b></legend>
+ <label>{{audio_path}}</label><input id="a_in" size="40"><br>
+ <label>{{output_path}}</label><input id="a_out_path" size="40" value="audios/output.wav"><br>
+ <label>{{audioldm2_model}}</label><select id="a_model"><option selected>audioldm2-music</option>
    <option>audioldm2</option><option>audioldm2-large</option></select><br>
- <label>Source prompt</label><input id="a_src" size="50"><br>
- <label>Target prompt</label><input id="a_tar" size="50"><br>
- <label>Steps</label><input id="a_steps" type="number" value="50">
+ <label>{{source_prompt}}</label><input id="a_src" size="50"><br>
+ <label>{{target_prompt}}</label><input id="a_tar" size="50"><br>
+ <label>{{steps_label}}</label><input id="a_steps" type="number" value="50">
  <label>t_start (%)</label><input id="a_tstart" type="number" value="45"><br>
- <label>CFG source</label><input id="a_cfg_src" type="number" step="0.5" value="3">
- <label>CFG target</label><input id="a_cfg_tar" type="number" step="0.5" value="12"><br>
- <label>Sample rate</label><input id="a_sr" type="number" value="44100">
- <label>Format</label><select id="a_fmt"><option>wav</option><option>flac</option></select><br>
- <button onclick="audioEdit()">Edit</button>
+ <label>{{cfg_scale_src}}</label><input id="a_cfg_src" type="number" step="0.5" value="3">
+ <label>{{cfg_scale_tar}}</label><input id="a_cfg_tar" type="number" step="0.5" value="12"><br>
+ <label>{{sample_rate}}</label><input id="a_sr" type="number" value="44100">
+ <label>{{export_format}}</label><select id="a_fmt"><option>wav</option><option>flac</option></select><br>
+ <button onclick="audioEdit()">{{editing}}</button>
  <pre id="a_out"></pre>
 </fieldset>
-<fieldset><legend><b>Text-to-speech</b></legend>
- <label>Text</label><input id="y_text" size="50"><br>
- <label>Voice</label><input id="y_voice" size="30" value="en-US-EmmaMultilingualNeural">
- <label>Google TTS</label><input id="y_google" type="checkbox"><br>
- <label>Speed (%)</label><input id="y_rate" type="number" value="0">
- <label>TTS pitch (Hz)</label><input id="y_pitch" type="number" value="0"><br>
- <label>Voice model (optional)</label><input id="y_model" size="40"><br>
- <label>Embedder</label><input id="y_emb" size="40">
- <label>RMVPE</label><input id="y_rmvpe" size="30"><br>
- <button onclick="tts()">Synthesize</button>
+<fieldset><legend><b>{{convert_text}}</b></legend>
+ <label>{{text_to_speech}}</label><input id="y_text" size="50"><br>
+ <label>{{voice}}</label><input id="y_voice" size="30" value="en-US-EmmaMultilingualNeural">
+ <label>{{googletts}}</label><input id="y_google" type="checkbox"><br>
+ <label>{{voice_speed}}</label><input id="y_rate" type="number" value="0">
+ <label>{{pitch}}</label><input id="y_pitch" type="number" value="0"><br>
+ <label>{{model_path}}</label><input id="y_model" size="40"><br>
+ <label>{{embedder_path}}</label><input id="y_emb" size="40">
+ <label>{{rmvpe_path}}</label><input id="y_rmvpe" size="30"><br>
+ <button onclick="tts()">{{convert_text}}</button>
  <div id="y_out"></div>
 </fieldset>
-<fieldset><legend><b>Convert with diarization (whisper)</b></legend>
- <label>Audio (wav)</label><input type="file" id="w_audio"><br>
- <label>Model A (.pth)</label><input id="w_model_a" size="40"><br>
- <label>Model B (.pth)</label><input id="w_model_b" size="40"><br>
- <label>ECAPA ckpt</label><input id="w_ecapa" size="40"><br>
- <label>Whisper .pt (optional)</label><input id="w_whisper" size="40">
- <label>vocab</label><input id="w_vocab" size="25"><br>
- <label>Embedder</label><input id="w_emb" size="40">
- <label>RMVPE</label><input id="w_rmvpe" size="30"><br>
- <button onclick="convertWhisper()">Convert</button>
+<fieldset><legend><b>{{convert_with_whisper}}</b></legend>
+ <label>{{input_audio}}</label><input type="file" id="w_audio"><br>
+ <label>{{model_path}} A</label><input id="w_model_a" size="40"><br>
+ <label>{{model_path}} B</label><input id="w_model_b" size="40"><br>
+ <label>{{ecapa_path}}</label><input id="w_ecapa" size="40"><br>
+ <label>{{whisper_path}}</label><input id="w_whisper" size="40">
+ <label>{{vocab_path}}</label><input id="w_vocab" size="25"><br>
+ <label>{{embedder_path}}</label><input id="w_emb" size="40">
+ <label>{{rmvpe_path}}</label><input id="w_rmvpe" size="30"><br>
+ <button onclick="convertWhisper()">{{convert_audio}}</button>
  <div id="w_out"></div>
 </fieldset>
-<fieldset><legend><b>Create dataset</b></legend>
- <label>Inputs (paths/URLs, one per line)</label><br>
+<fieldset><legend><b>{{createdataset}}</b></legend>
+ <label>{{create_dataset_url}}</label><br>
  <textarea id="cd_inputs" rows="3" cols="60"></textarea><br>
- <label>Output dir</label><input id="cd_out_dir" size="40" value="./dataset">
- <label>Sample rate</label><input id="cd_sr" type="number" value="44100"><br>
- <label>Separator .th (optional)</label><input id="cd_sep" size="40">
- <label>Clean</label><input id="cd_clean" type="checkbox"><br>
- <button onclick="job2('create_dataset')">Create</button>
- <button onclick="jobStatus2()">Status</button>
+ <label>{{output_folder}}</label><input id="cd_out_dir" size="40" value="./dataset">
+ <label>{{sample_rate}}</label><input id="cd_sr" type="number" value="44100"><br>
+ <label>{{separator_model}}</label><input id="cd_sep" size="40">
+ <label>{{clear_dataset}}</label><input id="cd_clean" type="checkbox"><br>
+ <button onclick="job2('create_dataset')">{{createdataset}}</button>
+ <button onclick="jobStatus2()">{{status}}</button>
  <pre id="cd_out"></pre>
 </fieldset>
-<fieldset><legend><b>Downloads</b></legend>
- <label>URL</label><input id="d_url" size="50"><br>
- <label>Output dir</label><input id="d_dir" size="40" value="./assets/models"><br>
- <button onclick="download()">Download</button>
- <label>Search HF models</label><input id="d_query" size="30">
- <button onclick="searchModels()">Search</button>
+<fieldset><legend><b>{{downloads}}</b></legend>
+ <label>{{download_url}}</label><input id="d_url" size="50"><br>
+ <label>{{output_folder}}</label><input id="d_dir" size="40" value="./assets/models"><br>
+ <button onclick="download()">{{downloads}}</button>
+ <label>{{search_models}}</label><input id="d_query" size="30">
+ <button onclick="searchModels()">{{search_2}}</button>
  <pre id="d_out"></pre>
 </fieldset>
-<fieldset><legend><b>Settings</b></legend>
- <label>Language</label><select id="g_lang"></select>
- <label>Precision</label><select id="g_prec"><option>bf16</option><option>fp32</option></select>
- <button onclick="saveSettings()">Save</button>
+<fieldset><legend><b>{{settings}}</b></legend>
+ <label>{{lang}}</label><select id="g_lang"></select>
+ <label>{{precision}}</label><select id="g_prec"><option>bf16</option><option>fp32</option></select>
+ <button onclick="saveSettings()">{{apply}}</button>
  <pre id="g_out"></pre>
 </fieldset>
-<fieldset><legend><b>Report bugs</b></legend>
- <label>Webhook URL</label><input id="b_hook" size="50"><br>
- <label>Description</label><br><textarea id="b_text" rows="3" cols="60"></textarea><br>
- <button onclick="reportBug()">Send</button>
+<fieldset><legend><b>{{report_bugs}}</b></legend>
+ <label>{{webhook_url}}</label><input id="b_hook" size="50"><br>
+ <label>{{report_bug_info}}</label><br><textarea id="b_text" rows="3" cols="60"></textarea><br>
+ <button onclick="reportBug()">{{report_bugs}}</button>
  <pre id="b_out"></pre>
 </fieldset>
 <script>
+const TR = {{i18n_js}};
 async function post(url, body){
   const r = await fetch(url, {method:'POST', headers:{'Content-Type':'application/json'},
                               body: JSON.stringify(body)});
@@ -204,7 +205,7 @@ function fileB64(el){ return new Promise((res,rej)=>{
   fr.onload = ()=>res(fr.result.split(',')[1]); fr.readAsDataURL(f);
 });}
 async function convert(){
-  document.getElementById('c_out').innerText = 'converting...';
+  document.getElementById('c_out').innerText = TR.processing;
   try{
     const audio = await fileB64(document.getElementById('c_audio'));
     const r = await post('/api/convert', {
@@ -217,13 +218,13 @@ async function convert(){
       f0_method: document.getElementById('c_f0').value,
       rmvpe: document.getElementById('c_rmvpe').value,
       embedder: document.getElementById('c_emb').value});
-    if(r.error){document.getElementById('c_out').innerText = 'error: '+r.error; return;}
+    if(r.error){document.getElementById('c_out').innerText = TR.error_occurred.replace('{e}', r.error); return;}
     const div = document.getElementById('c_out');
     div.innerHTML = '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>'
-  }catch(e){document.getElementById('c_out').innerText = 'error: '+e;}
+  }catch(e){document.getElementById('c_out').innerText = TR.error_occurred.replace('{e}', e);}
 }
 async function effects(){
-  document.getElementById('e_out').innerText = 'processing...';
+  document.getElementById('e_out').innerText = TR.processing;
   try{
     const audio = await fileB64(document.getElementById('e_audio'));
     const r = await post('/api/effects', {audio_b64: audio,
@@ -236,10 +237,10 @@ async function effects(){
       compressor: document.getElementById('e_comp').checked,
       gain: +document.getElementById('e_gain').value != 0,
       gain_db: +document.getElementById('e_gain').value});
-    if(r.error){document.getElementById('e_out').innerText = 'error: '+r.error; return;}
+    if(r.error){document.getElementById('e_out').innerText = TR.error_occurred.replace('{e}', r.error); return;}
     document.getElementById('e_out').innerHTML =
       '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>';
-  }catch(e){document.getElementById('e_out').innerText = 'error: '+e;}
+  }catch(e){document.getElementById('e_out').innerText = TR.error_occurred.replace('{e}', e);}
 }
 let lastJob = null;
 async function job(kind){
@@ -259,10 +260,10 @@ async function job(kind){
 async function jobStatus(){
   const r = await post('/api/job_status', {job_id: lastJob});
   document.getElementById('t_out').innerText =
-    (r.done ? '[done] ' : '[running] ') + (r.error||'') + '\n' + (r.log||'');
+    ('['+(r.done ? TR.done : TR.running)+'] ') + (r.error||'') + '\n' + (r.log||'');
 }
 async function audioEdit(){
-  document.getElementById('a_out').innerText = 'editing...';
+  document.getElementById('a_out').innerText = TR.processing;
   const r = await post('/api/audio_edit', {
     input: document.getElementById('a_in').value,
     output: document.getElementById('a_out_path').value,
@@ -288,18 +289,18 @@ async function fuse(){
   document.getElementById('f_out').innerText = JSON.stringify(r, null, 2);
 }
 async function separate(){
-  document.getElementById('s_out').innerText = 'separating...';
+  document.getElementById('s_out').innerText = TR.start_separator;
   try{
     const audio = await fileB64(document.getElementById('s_audio'));
     const r = await post('/api/separate', {audio_b64: audio,
       model: document.getElementById('s_model').value,
       mdx_n_fft: +document.getElementById('s_nfft').value,
       mdx_hop: +document.getElementById('s_hop').value});
-    if(r.error){document.getElementById('s_out').innerText = 'error: '+r.error; return;}
+    if(r.error){document.getElementById('s_out').innerText = TR.error_occurred.replace('{e}', r.error); return;}
     document.getElementById('s_out').innerHTML =
       'vocals: <audio controls src="data:audio/wav;base64,'+r.vocals_b64+'"></audio><br>' +
       'instrumental: <audio controls src="data:audio/wav;base64,'+r.instrumental_b64+'"></audio>';
-  }catch(e){document.getElementById('s_out').innerText = 'error: '+e;}
+  }catch(e){document.getElementById('s_out').innerText = TR.error_occurred.replace('{e}', e);}
 }
 async function exportOnnx(){
   const r = await post('/api/export_onnx', {model: document.getElementById('x_model').value,
@@ -308,29 +309,29 @@ async function exportOnnx(){
   document.getElementById('x_out').innerText = JSON.stringify(r, null, 2);
 }
 async function f0Extract(){
-  document.getElementById('p_out').innerText = 'extracting...';
+  document.getElementById('p_out').innerText = TR.start_extract;
   try{
     const audio = await fileB64(document.getElementById('p_audio'));
     const r = await post('/api/f0_extract', {audio_b64: audio,
       method: document.getElementById('p_method').value});
-    if(r.error){document.getElementById('p_out').innerText = 'error: '+r.error; return;}
+    if(r.error){document.getElementById('p_out').innerText = TR.error_occurred.replace('{e}', r.error); return;}
     document.getElementById('p_out').innerText =
       'frames: '+r.f0.length+' (10ms hop)\n'+r.f0.map(x=>x.toFixed(1)).join(' ');
-  }catch(e){document.getElementById('p_out').innerText = 'error: '+e;}
+  }catch(e){document.getElementById('p_out').innerText = TR.error_occurred.replace('{e}', e);}
 }
 async function download(){
-  document.getElementById('d_out').innerText = 'downloading...';
+  document.getElementById('d_out').innerText = TR.starting_download;
   const r = await post('/api/download', {url: document.getElementById('d_url').value,
     output: document.getElementById('d_dir').value});
   document.getElementById('d_out').innerText = JSON.stringify(r, null, 2);
 }
 async function searchModels(){
-  document.getElementById('d_out').innerText = 'searching...';
+  document.getElementById('d_out').innerText = TR.processing;
   const r = await post('/api/search_models', {query: document.getElementById('d_query').value});
   document.getElementById('d_out').innerText = JSON.stringify(r, null, 2);
 }
 async function tts(){
-  document.getElementById('y_out').innerText = 'synthesizing...';
+  document.getElementById('y_out').innerText = TR.start_tts;
   const r = await post('/api/tts', {text: document.getElementById('y_text').value,
     voice: document.getElementById('y_voice').value,
     google: document.getElementById('y_google').checked,
@@ -339,13 +340,13 @@ async function tts(){
     model: document.getElementById('y_model').value,
     embedder: document.getElementById('y_emb').value,
     rmvpe: document.getElementById('y_rmvpe').value});
-  if(r.error){document.getElementById('y_out').innerText = 'error: '+r.error; return;}
+  if(r.error){document.getElementById('y_out').innerText = TR.error_occurred.replace('{e}', r.error); return;}
   let html = 'tts: <audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>';
   if(r.converted_b64) html += '<br>converted: <audio controls src="data:audio/wav;base64,'+r.converted_b64+'"></audio>';
   document.getElementById('y_out').innerHTML = html;
 }
 async function convertWhisper(){
-  document.getElementById('w_out').innerText = 'converting...';
+  document.getElementById('w_out').innerText = TR.processing;
   try{
     const audio = await fileB64(document.getElementById('w_audio'));
     const r = await post('/api/convert_whisper', {audio_b64: audio,
@@ -356,10 +357,10 @@ async function convertWhisper(){
       vocab: document.getElementById('w_vocab').value,
       embedder: document.getElementById('w_emb').value,
       rmvpe: document.getElementById('w_rmvpe').value});
-    if(r.error){document.getElementById('w_out').innerText = 'error: '+r.error; return;}
+    if(r.error){document.getElementById('w_out').innerText = TR.error_occurred.replace('{e}', r.error); return;}
     document.getElementById('w_out').innerHTML =
       '<audio controls src="data:audio/wav;base64,'+r.audio_b64+'"></audio>';
-  }catch(e){document.getElementById('w_out').innerText = 'error: '+e;}
+  }catch(e){document.getElementById('w_out').innerText = TR.error_occurred.replace('{e}', e);}
 }
 let lastJob2 = null;
 async function job2(kind){
@@ -375,7 +376,7 @@ async function job2(kind){
 async function jobStatus2(){
   const r = await post('/api/job_status', {job_id: lastJob2});
   document.getElementById('cd_out').innerText =
-    (r.done ? '[done] ' : '[running] ') + (r.error||'') + '\n' + (r.log||'');
+    ('['+(r.done ? TR.done : TR.running)+'] ') + (r.error||'') + '\n' + (r.log||'');
 }
 async function loadSettings(){
   const r = await post('/api/settings', {});
@@ -394,7 +395,7 @@ async function saveSettings(){
   document.getElementById('g_out').innerText = JSON.stringify(r, null, 2);
 }
 async function reportBug(){
-  document.getElementById('b_out').innerText = 'sending...';
+  document.getElementById('b_out').innerText = TR.processing;
   const r = await post('/api/report_bug', {
     webhook: document.getElementById('b_hook').value,
     text: document.getElementById('b_text').value});
@@ -403,6 +404,39 @@ async function reportBug(){
 loadSettings();
 </script></body></html>
 """
+
+
+# keys the page's JS needs for dynamic status/error text
+_JS_KEYS = ("processing", "done", "running", "error_occurred",
+            "start_separator", "start_extract", "starting_download",
+            "start_tts")
+
+_TEMPLATE_RE = None
+
+
+def render_index() -> str:
+    """Substitute every {{key}} in INDEX_HTML with the active locale's
+    string (reference routes all UI text through `translations`,
+    configs/config.py:29-46; here the page is rendered server-side so a
+    language change + reload shows a fully translated UI)."""
+    import html
+    import re
+
+    from ..utils.i18n import tr
+
+    global _TEMPLATE_RE
+    if _TEMPLATE_RE is None:
+        _TEMPLATE_RE = re.compile(r"\{\{([a-z0-9_]+)\}\}")
+
+    js = json.dumps({k: tr(k) for k in _JS_KEYS}, ensure_ascii=False)
+
+    def sub(m):
+        key = m.group(1)
+        if key == "i18n_js":
+            return js
+        return html.escape(tr(key), quote=False)
+
+    return _TEMPLATE_RE.sub(sub, INDEX_HTML)
 
 
 def _wav_bytes_to_audio(data: bytes):
@@ -484,12 +518,17 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path in ("/", "/index.html"):
-            body = INDEX_HTML.encode()
+            body = render_index().encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/api/i18n":
+            from ..utils.i18n import catalog, current_language
+
+            self._json({"language": current_language(),
+                        "strings": catalog()})
         else:
             self._json({"error": "not found"}, 404)
 
@@ -796,6 +835,13 @@ try:
         _SETTINGS.update(json.load(_f))
 except (OSError, ValueError):
     pass
+
+# honor the persisted language on startup (reference Config.multi_language
+# reads config.json's "language", configs/config.py:29-46)
+if _SETTINGS.get("language"):
+    from ..utils.i18n import set_language as _set_language
+
+    _set_language(_SETTINGS["language"])
 
 
 def _save_settings() -> None:

@@ -38,10 +38,16 @@ def cmd_preprocess(args):
     from .pipelines.preprocess import preprocess_dataset
 
     _setup_logging(args.exp_dir, "preprocess")
+    import time
+
+    from .utils.i18n import tr
+
+    t0 = time.time()
     n = preprocess_dataset(args.dataset, args.exp_dir, args.sample_rate,
                            per=args.per, num_workers=args.cpu_cores,
                            cut=args.cut, effects=args.process_effects)
-    print(f"preprocessed: {n} segments")
+    print(tr("preprocess_success", elapsed_time=f"{time.time() - t0:.1f}")
+          + f" [{n} segments]")
 
 
 def cmd_extract(args):
@@ -87,7 +93,9 @@ def cmd_extract(args):
     ex.extract_embeddings(args.exp_dir, hubert_params, version=args.version)
     ex.write_mute_fixture(args.exp_dir, cfg, hubert_params, args.version)
     ex.generate_filelist(args.exp_dir, cfg, args.version)
-    print("extract: done")
+    from .utils.i18n import tr
+
+    print(tr("extract_done"))
 
 
 def cmd_index(args):
@@ -113,7 +121,9 @@ def cmd_index(args):
         args.exp_dir,
         f"added_{os.path.basename(args.exp_dir)}_{args.version}.index")
     build_ivf_file(index.vectors, fa)
-    print(f"index: {index.vectors.shape} -> {out} + {fa}")
+    from .utils.i18n import tr
+
+    print(tr("save_index") + f": {index.vectors.shape} -> {out} + {fa}")
 
 
 def cmd_train(args):
@@ -143,7 +153,9 @@ def cmd_train(args):
           overtraining_threshold=args.overtraining_threshold,
           save_every_weights=not args.no_save_every_weights,
           cache_data=args.cache_data, cleanup=args.cleanup)
-    print("train: done")
+    from .utils.i18n import tr
+
+    print(tr("success"))
 
 
 def _build_convert_pipeline(args):
@@ -310,7 +322,10 @@ def cmd_convert(args):
     else:
         save_wav(args.output, out, out_sr)
         written = args.output
-    print(f"convert: wrote {written} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
+    from .utils.i18n import tr
+
+    print(tr("export_success")
+          + f" {written} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
 
 
 def cmd_separate(args):
@@ -341,7 +356,9 @@ def cmd_separate(args):
         save_wav(args.output_vocals, primary.T, sr)
         if args.output_instrumental:
             save_wav(args.output_instrumental, secondary.T, sr)
-        print(f"separate: wrote {args.output_vocals}"
+        from .utils.i18n import tr
+
+        print(tr("separator_success_3") + f" {args.output_vocals}"
               + (f" and {args.output_instrumental}"
                  if args.output_instrumental else ""))
         return
@@ -366,7 +383,9 @@ def cmd_separate(args):
     save_wav(args.output_vocals, vocals, cfg.samplerate)
     if args.output_instrumental:
         save_wav(args.output_instrumental, inst, cfg.samplerate)
-    print(f"separate: wrote {args.output_vocals}"
+    from .utils.i18n import tr
+
+    print(tr("separator_success_3") + f" {args.output_vocals}"
           + (f" and {args.output_instrumental}"
              if args.output_instrumental else ""))
 
@@ -385,14 +404,20 @@ def cmd_separate_music(args):
         mdx_overlap=args.mdx_overlap, mdx_hop=args.mdx_hop,
         mdx_n_fft=args.mdx_n_fft)
     written = separate_music(args.input, args.output, s)
+    from .utils.i18n import tr
+
     for stem, path in written.items():
-        print(f"separate-music: {stem} -> {path}")
+        print(f"{stem} -> {path}")
+    print(tr("separator_success_3"))
 
 
 def cmd_create_dataset(args):
+    import time
+
     from .pipelines.create_dataset import create_dataset
 
     _setup_logging(None)
+    t0 = time.time()
     separator = None
     if args.separator_model:
         from .interop.demucs_load import load_demucs_th
@@ -403,7 +428,10 @@ def cmd_create_dataset(args):
         skip_start=args.skip_start or None, skip_end=args.skip_end or None,
         separator=separator, clean_dataset=args.clean_dataset,
         clean_strength=args.clean_strength)
-    print(f"create-dataset: wrote {len(written)} files to {args.output}")
+    from .utils.i18n import tr
+
+    print(tr("create_dataset_success", elapsed_time=f"{time.time() - t0:.1f}")
+          + f" [{len(written)} files -> {args.output}]")
 
 
 def cmd_transcribe(args):
@@ -426,7 +454,9 @@ def cmd_transcribe(args):
     out = [{k: v for k, v in s.items() if k != "tokens"} for s in segs]
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2, ensure_ascii=False)
-    print(f"transcribe: {len(out)} segments -> {args.output}")
+    from .utils.i18n import tr
+
+    print(tr("whisper_done") + f" {len(out)} segments -> {args.output}")
 
 
 def cmd_effects(args):
@@ -443,7 +473,10 @@ def cmd_effects(args):
             kwargs[f] = getattr(args, f)
     out, out_sr = apply_effects(audio, sr, EffectsSettings(**kwargs))
     save_wav(args.output, out, out_sr)
-    print(f"effects: wrote {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
+    from .utils.i18n import tr
+
+    print(tr("export_success")
+          + f" {args.output} ({len(out) / out_sr:.2f}s @ {out_sr} Hz)")
 
 
 def cmd_tts(args):
@@ -469,7 +502,7 @@ def cmd_tts(args):
             args.text, args.voice, args.output, rate=args.rate,
             pitch=args.tts_pitch, google=args.google,
             output_format=None if args.google else etc.PCM_FORMAT)
-    print(f"tts: wrote {args.output}")
+    print(tr("tts_success") + f" -> {args.output}")
     if args.model:
         pipe, settings = _build_convert_pipeline(args)
         audio16 = _read_tts_output(args.output, 16000)
@@ -479,7 +512,7 @@ def cmd_tts(args):
         out = pipe.convert_utterance(audio16, args.sid, settings)
         out_sr = args.resample_sr if args.resample_sr else pipe.cfg.sr
         save_wav(args.convert_output, out, out_sr)
-        print(f"tts: converted -> {args.convert_output}")
+        print(tr("output_file_tts_convert") + f" -> {args.convert_output}")
 
 
 def cmd_diarize_convert(args):
@@ -512,7 +545,9 @@ def cmd_diarize_convert(args):
     out = convert_with_diarization(audio16, pipes, settings_list,
                                    ecapa_params, whisper=whisper)
     save_wav(args.output, out, pipes[0].cfg.sr)
-    print(f"diarize-convert: wrote {args.output}")
+    from .utils.i18n import tr
+
+    print(tr("success") + f" {args.output}")
 
 
 def cmd_fuse(args):
@@ -520,7 +555,9 @@ def cmd_fuse(args):
 
     out = fuse_models(args.model_a, args.model_b, args.output,
                       ratio=args.ratio)
-    print(f"fused -> {out}")
+    from .utils.i18n import tr
+
+    print(tr("fusion_success") + f" -> {out}")
 
 
 def cmd_info(args):
@@ -537,7 +574,9 @@ def cmd_export_onnx(args):
     out = export_voice_model(args.model, args.output,
                              max_frames=args.max_frames,
                              dynamic=not args.static)
-    print(f"exported -> {out}")
+    from .utils.i18n import tr
+
+    print(tr("success") + f" -> {out}")
 
 
 def cmd_edit(args):
@@ -554,14 +593,18 @@ def cmd_edit(args):
                save_compute=args.save_compute, sr=args.sample_rate,
                export_format=args.export_format,
                stack=ToyMelStack() if args.toy_stack else None)
-    print(f"edited -> {out}")
+    from .utils.i18n import tr
+
+    print(tr("success") + f" -> {out}")
 
 
 def cmd_tensorboard(args):
     from .pipelines.tb_logging import launch_tensorboard
 
     url = launch_tensorboard(args.logdir, args.port)
-    print(f"tensorboard at {url}")
+    from .utils.i18n import tr
+
+    print(tr("tensorboard_url") + f": {url}")
     import time
 
     while True:

@@ -76,6 +76,15 @@ def set_language(lang: str) -> None:
             logger.warning("no locale file for %s; using English", lang)
 
 
+def current_language() -> str:
+    return _lang
+
+
+def catalog() -> dict:
+    """The full active key->string table (served to UI clients)."""
+    return dict(_current)
+
+
 def tr(key: str, **kwargs) -> str:
     s = _current.get(key, key)
     return s.format(**kwargs) if kwargs else s

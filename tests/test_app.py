@@ -48,7 +48,9 @@ def _post(port, path, obj):
 def test_index_page(server_port):
     html = urllib.request.urlopen(
         f"http://127.0.0.1:{server_port}/").read().decode()
-    assert "Voice conversion" in html and "Model fusion" in html
+    # en-US render of the i18n'd page (keys convert_audio / fushion)
+    assert "Convert Audio" in html and "Model Fusion" in html
+    assert "{{" not in html  # all template keys resolved
 
 
 def test_model_info_endpoint(tmp_path, server_port):
@@ -353,4 +355,5 @@ def test_audio_edit_endpoint(tmp_path, server_port):
 def test_index_page_has_edit_tab(server_port):
     html = urllib.request.urlopen(
         f"http://127.0.0.1:{server_port}/").read().decode()
-    assert "Audio editing (AudioLDM2)" in html
+    # audio_editing tab key + its API wiring
+    assert "Editing the Soundtrack" in html and "audioEdit" in html

@@ -82,3 +82,70 @@ def test_available_languages_unique():
     assert len(langs) == len(set(langs))
     for locale in LOCALES:
         assert locale in langs
+
+
+def _load_locales():
+    out = {}
+    for locale in LOCALES:
+        with open(os.path.join(OUR_LANG_DIR, f"{locale}.json"),
+                  encoding="utf-8") as f:
+            out[locale] = json.load(f)
+    return out
+
+
+def test_ui_template_keys_exist_in_every_locale():
+    """Every {{key}} the web UI renders must resolve in all 4 catalogs
+    (the page is server-side rendered through tr(), so a missing key
+    would leak the raw key name into the UI)."""
+    from rvc_maker_tpu.app import server
+
+    keys = set(re.findall(r"\{\{([a-z0-9_]+)\}\}", server.INDEX_HTML))
+    keys.discard("i18n_js")  # JS-catalog injection slot, not a string key
+    assert len(keys) > 50  # the UI is actually templated
+    locales = _load_locales()
+    for locale, cat in locales.items():
+        missing = sorted(k for k in keys if k not in cat)
+        assert not missing, (locale, missing)
+    for k in server._JS_KEYS:
+        for locale, cat in locales.items():
+            assert k in cat, (locale, k)
+
+
+def test_tr_callsite_keys_exist_in_every_locale():
+    """Every literal tr("key") in the package resolves in all 4 catalogs."""
+    import rvc_maker_tpu
+
+    pkg = os.path.dirname(rvc_maker_tpu.__file__)
+    pat = re.compile(r"""\btr\(\s*["']([a-z0-9_]+)["']""")
+    used = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            with open(os.path.join(root, fn), encoding="utf-8") as f:
+                used |= set(pat.findall(f.read()))
+    assert len(used) >= 15  # the product actually consumes the catalogs
+    for locale, cat in _load_locales().items():
+        missing = sorted(k for k in used if k not in cat)
+        assert not missing, (locale, missing)
+
+
+def test_index_renders_vietnamese_end_to_end():
+    """Switching the language setting produces a genuinely translated
+    page, not an English page with a translated settings row."""
+    from rvc_maker_tpu.app import server
+
+    saved = i18n._lang
+    try:
+        i18n.set_language("vi-VN")
+        page = server.render_index()
+        assert "{{" not in page  # every placeholder resolved
+        assert "Chuyển Đổi Âm Thanh" in page       # convert_audio
+        assert "Tách Nhạc" in page                  # separator_tab
+        assert "Cài đặt" in page                    # settings
+        assert "Đang xử lý" in page                 # TR.processing for JS
+        i18n.set_language("en-US")
+        page_en = server.render_index()
+        assert "Convert Audio" in page_en and "{{" not in page_en
+    finally:
+        i18n.set_language(saved)
