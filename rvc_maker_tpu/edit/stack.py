@@ -232,21 +232,22 @@ class AudioLDM2Stack:
         tokenizer files).  The download itself is gated (reference
         fetches from HuggingFace lazily; this image has no egress)."""
         params = load_components_from_dir(model_dir)
-        del params  # every component except the UNet imports cleanly
+        del params
         raise NotImplementedError(
-            "UNet checkpoint import requires validating the diffusers "
-            "AudioLDM2 UNet key mapping against a real checkpoint, which "
-            "is not present offline; all other components (VAE, vocoder, "
-            "CLAP, T5, GPT2, projection) import from this directory "
-            "layout already (load_components_from_dir).")
+            "assembling a full AudioLDM2Stack from a checkpoint dir also "
+            "needs the tokenizer files + per-component configs wired into "
+            "the stack's *Config dataclasses; every weight tree (VAE, "
+            "vocoder, CLAP, T5, GPT2, projection, UNet) already imports "
+            "via load_components_from_dir(model_dir).")
 
 
 def load_components_from_dir(model_dir: str) -> dict:
     """Import every AudioLDM2 component with an offline-validatable key
     layout from a diffusers checkpoint directory.  Returns
-    {vae, vocoder, clap, t5, gpt2, proj} param trees; the UNet is
-    excluded (its key mapping needs a real checkpoint to validate,
-    see AudioLDM2Stack.load_from_dir)."""
+    {vae, vocoder, clap, t5, gpt2, proj, unet, unet_cfg} param trees; the
+    UNet importer is strict (every checkpoint key consumed, structure and
+    cross-dims inferred from the weights — models/audioldm2.py
+    unet_params_from_state_dict, tests/test_audioldm2_unet.py)."""
     if not os.path.isdir(model_dir):
         raise RuntimeError(
             f"AudioLDM2 checkpoint directory {model_dir!r} not found. "
@@ -270,6 +271,7 @@ def load_components_from_dir(model_dir: str) -> dict:
                 out[k] = f.get_tensor(k)
         return out
 
+    unet, unet_cfg = am.unet_params_from_state_dict(read_sf("unet"))
     return {
         "vae": am.vae_params_from_state_dict(read_sf("vae")),
         "vocoder": am.vocoder_params_from_state_dict(read_sf("vocoder")),
@@ -278,6 +280,8 @@ def load_components_from_dir(model_dir: str) -> dict:
         "gpt2": at.gpt2_params_from_state_dict(read_sf("language_model")),
         "proj": at.projection_params_from_state_dict(
             read_sf("projection_model")),
+        "unet": unet,
+        "unet_cfg": unet_cfg,
     }
 
 

@@ -319,6 +319,27 @@ class UNetConfig:
     cross_dim_1: int = 1024    # T5/CLAP projected stream
     norm_groups: int = 32
     time_embed_mult: int = 4
+    # Per-attention-slot cross dims, in diffusers order.  AudioLDM2's
+    # UNet attaches one FULL Transformer2DModel per entry after every
+    # resnet; an entry of None is a double-self-attention transformer
+    # (attn2 attends the hidden states), entries at index <= 1 attend
+    # the GPT2 stream (encoder_hidden_states), index > 1 the T5/CLAP
+    # stream (encoder_hidden_states_1) — mirroring the slot routing in
+    # diffusers' modeling_audioldm2 CrossAttnDownBlock2D.forward, which
+    # the reference drives via main/library/audioldm2/models.py:236-318.
+    cross_dims: tuple | None = None
+    # If set, per-slot head count = channels // head_dim (diffusers
+    # attention_head_dim semantics); else n_heads everywhere.
+    head_dim: int | None = None
+
+    @property
+    def slot_dims(self) -> tuple:
+        if self.cross_dims is not None:
+            return tuple(self.cross_dims)
+        return (None, self.cross_dim, self.cross_dim_1)
+
+    def heads_for(self, channels: int) -> int:
+        return channels // self.head_dim if self.head_dim else self.n_heads
 
 
 def timestep_embedding(t, dim: int):
@@ -329,33 +350,35 @@ def timestep_embedding(t, dim: int):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def _xattn_block(p: Params, x, eh0, eh1, *, n_heads: int):
-    """Transformer block: self-attn, then one cross-attn per conditioning
-    stream (AudioLDM2's dual conditioning), then GEGLU FF; all pre-LN."""
+def _attention(ap, q_in, kv_in, *, n_heads: int):
+    """diffusers Attention: to_q/to_k/to_v without bias, to_out.0 with."""
+    q = linear(q_in, ap["q"]["w"])
+    k = linear(kv_in, ap["k"]["w"])
+    v = linear(kv_in, ap["v"]["w"])
+    b, tq, c = q.shape
+    d = c // n_heads
+    qh = q.reshape(b, tq, n_heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, -1, n_heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, -1, n_heads, d).transpose(0, 2, 1, 3)
+    a = jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d), axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", a, vh)
+    o = o.transpose(0, 2, 1, 3).reshape(b, tq, c)
+    return linear(o, ap["o"]["w"], ap["o"]["b"])
+
+
+def _tblock(p: Params, x, kv, *, n_heads: int):
+    """diffusers BasicTransformerBlock: pre-LN self-attn, pre-LN second
+    attention (cross on kv, or self again when kv is None —
+    double_self_attention, the None-cross-dim slot), pre-LN GEGLU FF."""
     from ..ops.nn import layer_norm as _ln
 
-    def attn(ap, q_in, kv_in):
-        q = linear(q_in, ap["q"]["w"])
-        k = linear(kv_in, ap["k"]["w"])
-        v = linear(kv_in, ap["v"]["w"])
-        b, tq, c = q.shape
-        d = c // n_heads
-        qh = q.reshape(b, tq, n_heads, d).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, -1, n_heads, d).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, -1, n_heads, d).transpose(0, 2, 1, 3)
-        a = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d), axis=-1)
-        o = jnp.einsum("bhqk,bhkd->bhqd", a, vh)
-        o = o.transpose(0, 2, 1, 3).reshape(b, tq, c)
-        return linear(o, ap["o"]["w"], ap["o"]["b"])
-
     h = _ln(x, p["ln1"]["gamma"], p["ln1"]["beta"])
-    x = x + attn(p["attn1"], h, h)
+    x = x + _attention(p["attn1"], h, h, n_heads=n_heads)
     h = _ln(x, p["ln2"]["gamma"], p["ln2"]["beta"])
-    x = x + attn(p["attn2"], h, eh0)
+    x = x + _attention(p["attn2"], h, h if kv is None else kv,
+                       n_heads=n_heads)
     h = _ln(x, p["ln3"]["gamma"], p["ln3"]["beta"])
-    x = x + attn(p["attn3"], h, eh1)
-    h = _ln(x, p["ln4"]["gamma"], p["ln4"]["beta"])
     a, gate = jnp.split(linear(h, p["ff1"]["w"], p["ff1"]["b"]), 2, axis=-1)
     h = a * _gelu_t(gate)
     return x + linear(h, p["ff2"]["w"], p["ff2"]["b"])
@@ -365,14 +388,30 @@ def _gelu_t(x):
     return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
 
 
-def _transformer2d(p: Params, x, eh0, eh1, *, n_heads: int, groups: int):
+def _transformer2d(p: Params, x, kv, *, n_heads: int, groups: int):
+    """One full diffusers Transformer2DModel (norm, proj_in, blocks,
+    proj_out, +residual), attending kv (or itself when kv is None)."""
     b, h, w, c = x.shape
     y = group_norm(x, p["gn"]["gamma"], p["gn"]["beta"], groups=groups)
     y = linear(y.reshape(b, h * w, c), p["proj_in"]["w"], p["proj_in"]["b"])
     for blk in p["blocks"]:
-        y = _xattn_block(blk, y, eh0, eh1, n_heads=n_heads)
+        y = _tblock(blk, y, kv, n_heads=n_heads)
     y = linear(y, p["proj_out"]["w"], p["proj_out"]["b"]).reshape(b, h, w, c)
     return x + y
+
+
+def _attn_slots(slots, cfg: UNetConfig, x, eh0, eh1, *, channels: int,
+                groups: int):
+    """Run one res-layer's attention slots in diffusers order: slot idx
+    with cross dim None self-attends; idx <= 1 attends eh0
+    (encoder_hidden_states, GPT2 stream); idx > 1 attends eh1
+    (encoder_hidden_states_1, T5/CLAP stream) — the routing in
+    diffusers modeling_audioldm2 CrossAttnDownBlock2D.forward."""
+    heads = cfg.heads_for(channels)
+    for idx, (slot, dim) in enumerate(zip(slots, cfg.slot_dims)):
+        kv = None if dim is None else (eh0 if idx <= 1 else eh1)
+        x = _transformer2d(slot, x, kv, n_heads=heads, groups=groups)
+    return x
 
 
 def _init_attn(rs, c, kv_dim):
@@ -386,20 +425,25 @@ def _init_ln(c):
     return {"gamma": np.ones(c, np.float32), "beta": np.zeros(c, np.float32)}
 
 
-def _init_tblock(rs, c, cfg: UNetConfig):
+def _init_tblock(rs, c, kv_dim):
     return {
         "ln1": _init_ln(c), "attn1": _init_attn(rs, c, c),
-        "ln2": _init_ln(c), "attn2": _init_attn(rs, c, cfg.cross_dim),
-        "ln3": _init_ln(c), "attn3": _init_attn(rs, c, cfg.cross_dim_1),
-        "ln4": _init_ln(c),
+        "ln2": _init_ln(c), "attn2": _init_attn(rs, c,
+                                                c if kv_dim is None
+                                                else kv_dim),
+        "ln3": _init_ln(c),
         "ff1": _init_lin(rs, c, 8 * c), "ff2": _init_lin(rs, 4 * c, c),
     }
 
 
-def _init_transformer2d(rs, c, cfg: UNetConfig, depth: int = 1):
+def _init_transformer2d(rs, c, kv_dim, depth: int = 1):
     return {"gn": _init_gn(c), "proj_in": _init_lin(rs, c, c),
-            "blocks": [_init_tblock(rs, c, cfg) for _ in range(depth)],
+            "blocks": [_init_tblock(rs, c, kv_dim) for _ in range(depth)],
             "proj_out": _init_lin(rs, c, c)}
+
+
+def _init_slots(rs, c, cfg: UNetConfig):
+    return [_init_transformer2d(rs, c, dim) for dim in cfg.slot_dims]
 
 
 def init_unet(key, cfg: UNetConfig) -> Params:
@@ -422,7 +466,7 @@ def init_unet(key, cfg: UNetConfig) -> Params:
         for j in range(cfg.layers_per_block):
             blk["res"].append(_init_resnet(rs, cin if j == 0 else cout,
                                            cout, temb_dim=temb))
-            blk["attn"].append(_init_transformer2d(rs, cout, cfg))
+            blk["attn"].append(_init_slots(rs, cout, cfg))
             skip_widths.append(cout)
         if li < len(ch) - 1:
             blk["down"] = _init_conv(rs, 3, 3, cout, cout)
@@ -430,7 +474,7 @@ def init_unet(key, cfg: UNetConfig) -> Params:
         p["down"].append(blk)
         cin = cout
     p["mid"] = {"res1": _init_resnet(rs, ch[-1], ch[-1], temb_dim=temb),
-                "attn": _init_transformer2d(rs, ch[-1], cfg),
+                "attn": _init_slots(rs, ch[-1], cfg),
                 "res2": _init_resnet(rs, ch[-1], ch[-1], temb_dim=temb)}
     rev = list(reversed(ch))
     cur = ch[-1]
@@ -439,7 +483,7 @@ def init_unet(key, cfg: UNetConfig) -> Params:
         for j in range(cfg.layers_per_block + 1):
             in_c = cur + skip_widths.pop()
             blk["res"].append(_init_resnet(rs, in_c, cout, temb_dim=temb))
-            blk["attn"].append(_init_transformer2d(rs, cout, cfg))
+            blk["attn"].append(_init_slots(rs, cout, cfg))
             cur = cout
         if li < len(rev) - 1:
             blk["upconv"] = _init_conv(rs, 3, 3, cout, cout)
@@ -462,8 +506,8 @@ def unet_forward(p: Params, cfg: UNetConfig, sample, timestep, eh0, eh1):
     for blk in p["down"]:
         for r, a in zip(blk["res"], blk["attn"]):
             h = _resnet(r, h, temb, groups=g)
-            h = _transformer2d(a, h, eh0, eh1, n_heads=cfg.n_heads,
-                               groups=g)
+            h = _attn_slots(a, cfg, h, eh0, eh1, channels=h.shape[-1],
+                            groups=g)
             skips.append(h)
         if "down" in blk:
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -472,8 +516,8 @@ def unet_forward(p: Params, cfg: UNetConfig, sample, timestep, eh0, eh1):
             skips.append(h)
     m = p["mid"]
     h = _resnet(m["res1"], h, temb, groups=g)
-    h = _transformer2d(m["attn"], h, eh0, eh1, n_heads=cfg.n_heads,
-                       groups=g)
+    h = _attn_slots(m["attn"], cfg, h, eh0, eh1, channels=h.shape[-1],
+                    groups=g)
     h = _resnet(m["res2"], h, temb, groups=g)
 
     for blk in p["up"]:
@@ -481,14 +525,175 @@ def unet_forward(p: Params, cfg: UNetConfig, sample, timestep, eh0, eh1):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
             h = _resnet(r, h, temb, groups=g)
-            h = _transformer2d(a, h, eh0, eh1, n_heads=cfg.n_heads,
-                               groups=g)
+            h = _attn_slots(a, cfg, h, eh0, eh1, channels=h.shape[-1],
+                            groups=g)
         if "upconv" in blk:
             h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             h = conv2d(h, blk["upconv"]["w"], blk["upconv"]["b"])
     h = _silu(group_norm(h, p["gn_out"]["gamma"], p["gn_out"]["beta"],
                          groups=g))
     return conv2d(h, p["conv_out"]["w"], p["conv_out"]["b"])
+
+
+def unet_params_from_state_dict(sd, *, head_dim: int | None = 8,
+                                norm_groups: int = 32,
+                                time_embed_mult: int = 4):
+    """diffusers AudioLDM2UNet2DConditionModel state dict -> (params, cfg).
+
+    The structure is inferred from the checkpoint itself (so the importer
+    follows the weights, not a hardcoded config): block widths from the
+    resnet convs, layers_per_block from the resnet count, attention-slot
+    count and per-slot cross dims from down_blocks.0.attentions (a slot
+    whose attn2.to_k input width equals the inner width is the
+    double-self-attention None slot).  Every key in sd must be consumed —
+    leftovers or absences raise, so a layout drift in diffusers surfaces
+    as a loud error, not silently wrong audio.  Torch convs are OIHW ->
+    HWIO; linears are transposed; q/k/v carry no bias, to_out.0 does
+    (diffusers Attention).
+    """
+    consumed: set = set()
+
+    def _np(t):
+        import torch
+
+        return (t.detach().cpu().float().numpy()
+                if isinstance(t, torch.Tensor) else np.asarray(t, np.float32))
+
+    def take(key):
+        if key not in sd:
+            raise KeyError(f"UNet checkpoint missing key {key!r}")
+        consumed.add(key)
+        return _np(sd[key])
+
+    def conv(prefix):
+        return {"w": take(f"{prefix}.weight").transpose(2, 3, 1, 0),
+                "b": take(f"{prefix}.bias")}
+
+    def lin(prefix):
+        return {"w": take(f"{prefix}.weight").T,
+                "b": take(f"{prefix}.bias")}
+
+    def norm(prefix):  # GroupNorm/LayerNorm affine
+        return {"gamma": take(f"{prefix}.weight"),
+                "beta": take(f"{prefix}.bias")}
+
+    def proj(prefix):
+        """Transformer2DModel proj_in/proj_out: 1x1 conv (OIHW) or linear
+        depending on use_linear_projection — both map to a token linear."""
+        w = take(f"{prefix}.weight")
+        if w.ndim == 4:
+            w = w[:, :, 0, 0]
+        return {"w": w.T, "b": take(f"{prefix}.bias")}
+
+    def attn(prefix):
+        return {"q": {"w": take(f"{prefix}.to_q.weight").T},
+                "k": {"w": take(f"{prefix}.to_k.weight").T},
+                "v": {"w": take(f"{prefix}.to_v.weight").T},
+                "o": lin(f"{prefix}.to_out.0")}
+
+    def tblock(prefix):
+        return {"ln1": norm(f"{prefix}.norm1"),
+                "attn1": attn(f"{prefix}.attn1"),
+                "ln2": norm(f"{prefix}.norm2"),
+                "attn2": attn(f"{prefix}.attn2"),
+                "ln3": norm(f"{prefix}.norm3"),
+                "ff1": lin(f"{prefix}.ff.net.0.proj"),
+                "ff2": lin(f"{prefix}.ff.net.2")}
+
+    def transformer2d(prefix):
+        blocks = []
+        li = 0
+        while f"{prefix}.transformer_blocks.{li}.norm1.weight" in sd:
+            blocks.append(tblock(f"{prefix}.transformer_blocks.{li}"))
+            li += 1
+        return {"gn": norm(f"{prefix}.norm"),
+                "proj_in": proj(f"{prefix}.proj_in"),
+                "blocks": blocks,
+                "proj_out": proj(f"{prefix}.proj_out")}
+
+    def resnet(prefix):
+        p = {"gn1": norm(f"{prefix}.norm1"),
+             "conv1": conv(f"{prefix}.conv1"),
+             "gn2": norm(f"{prefix}.norm2"),
+             "conv2": conv(f"{prefix}.conv2")}
+        if f"{prefix}.time_emb_proj.weight" in sd:
+            p["time"] = lin(f"{prefix}.time_emb_proj")
+        if f"{prefix}.conv_shortcut.weight" in sd:
+            p["shortcut"] = conv(f"{prefix}.conv_shortcut")
+        return p
+
+    def block(prefix, down: bool):
+        blk = {"res": [], "attn": []}
+        j = 0
+        while f"{prefix}.resnets.{j}.norm1.weight" in sd:
+            blk["res"].append(resnet(f"{prefix}.resnets.{j}"))
+            j += 1
+        n_res = j
+        k = 0
+        slots_flat = []
+        while f"{prefix}.attentions.{k}.norm.weight" in sd:
+            slots_flat.append(transformer2d(f"{prefix}.attentions.{k}"))
+            k += 1
+        if slots_flat:
+            if k % n_res:
+                raise ValueError(
+                    f"{prefix}: {k} attentions not divisible by {n_res} "
+                    "resnets")
+            per = k // n_res
+            blk["attn"] = [slots_flat[i * per:(i + 1) * per]
+                           for i in range(n_res)]
+        else:
+            del blk["attn"]
+        if down and f"{prefix}.downsamplers.0.conv.weight" in sd:
+            blk["down"] = conv(f"{prefix}.downsamplers.0.conv")
+        if not down and f"{prefix}.upsamplers.0.conv.weight" in sd:
+            blk["upconv"] = conv(f"{prefix}.upsamplers.0.conv")
+        return blk
+
+    p = {"time_mlp1": lin("time_embedding.linear_1"),
+         "time_mlp2": lin("time_embedding.linear_2"),
+         "conv_in": conv("conv_in"),
+         "gn_out": norm("conv_norm_out"),
+         "conv_out": conv("conv_out"),
+         "down": [], "up": []}
+    i = 0
+    while f"down_blocks.{i}.resnets.0.norm1.weight" in sd:
+        p["down"].append(block(f"down_blocks.{i}", down=True))
+        i += 1
+    p["mid"] = {"res1": resnet("mid_block.resnets.0"),
+                "res2": resnet("mid_block.resnets.1")}
+    k = 0
+    mid_slots = []
+    while f"mid_block.attentions.{k}.norm.weight" in sd:
+        mid_slots.append(transformer2d(f"mid_block.attentions.{k}"))
+        k += 1
+    p["mid"]["attn"] = mid_slots
+    i = 0
+    while f"up_blocks.{i}.resnets.0.norm1.weight" in sd:
+        p["up"].append(block(f"up_blocks.{i}", down=False))
+        i += 1
+
+    leftover = sorted(set(sd) - consumed)
+    if leftover:
+        raise ValueError(
+            f"{len(leftover)} unconsumed UNet checkpoint keys (layout "
+            f"drift?): {leftover[:8]}...")
+
+    # infer the config from the imported weights
+    widths = tuple(blk["res"][0]["conv1"]["w"].shape[-1]
+                   for blk in p["down"])
+    inner = p["down"][0]["attn"][0][0]["proj_in"]["w"].shape[0]
+    cross_dims = []
+    for slot in p["down"][0]["attn"][0]:
+        kd = slot["blocks"][0]["attn2"]["k"]["w"].shape[0]
+        cross_dims.append(None if kd == inner else int(kd))
+    cfg = UNetConfig(
+        in_channels=p["conv_in"]["w"].shape[2],
+        block_out_channels=widths,
+        layers_per_block=len(p["down"][0]["res"]),
+        norm_groups=norm_groups, time_embed_mult=time_embed_mult,
+        cross_dims=tuple(cross_dims), head_dim=head_dim)
+    return p, cfg
 
 
 # ---------------------------------------------------------------------------

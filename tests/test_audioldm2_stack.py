@@ -401,8 +401,17 @@ def test_load_components_from_synthetic_checkpoint_dir(tmp_path):
     conv("decoder.conv_out", 8, 1)
     save("vae", vae_sd, name="diffusion_pytorch_model.safetensors")
 
+    # diffusers-layout UNet (key generator shared with
+    # tests/test_audioldm2_unet.py)
+    from test_audioldm2_unet import make_unet_sd
+
+    save("unet", make_unet_sd(np.random.RandomState(7)),
+         name="diffusion_pytorch_model.safetensors")
+
     params = load_components_from_dir(str(tmp_path))
-    assert set(params) == {"vae", "vocoder", "clap", "t5", "gpt2", "proj"}
+    assert set(params) == {"vae", "vocoder", "clap", "t5", "gpt2", "proj",
+                           "unet", "unet_cfg"}
+    assert params["unet_cfg"].slot_dims == (None, 12, 20)
 
     # each imported tree runs a forward
     vcfg = am.VAEConfig(block_out_channels=(8,), latent_channels=4,
