@@ -280,58 +280,91 @@ def align_wave_head_and_tail(a: np.ndarray, b: np.ndarray):
 
 
 # -------------------------------------------------- multi-band (VR) helpers
+#
+# Channel encodes/decodes are expressed as 2x2 mixing matrices applied
+# over the channel axis (out = M @ [ch0, ch1]); the reference writes each
+# mode out longhand (spec_utils.py:149-163, 193-239).  The numbers are
+# contractually the reference's — several decodes are deliberately NOT
+# the matrix inverse of their encode.
+
+_V51_ENCODE = {
+    "mid_side":   ((0.5, 0.5), (1.0, -1.0)),
+    "mid_side_c": ((1.0, 0.25), (-0.25, 1.0)),
+    "stereo_n":   ((1 / 0.9375, 0.25 / 0.9375), (0.25 / 0.9375, 1 / 0.9375)),
+}
+_V51_DECODE = {
+    "mid_side":   ((1.0, 0.5), (1.0, -0.5)),
+    "mid_side_c": ((1 / 1.0625, -1 / 4.25), (1 / 4.25, 1 / 1.0625)),
+    "stereo_n":   ((1.0, -0.25), (-0.25, 1.0)),
+}
+_LEGACY_ENCODE = {
+    "mid_side":    ((0.5, 0.5), (1.0, -1.0)),
+    "mid_side_b2": ((0.5, 1.0), (1.0, -0.5)),
+}
+_LEGACY_DECODE = {
+    "mid_side":    ((1.0, 0.5), (1.0, -0.5)),
+    "mid_side_b2": ((0.4, 1 / 1.25), (1 / 1.25, -0.4)),
+}
+
+
+def _mix2(pair: np.ndarray, m) -> np.ndarray:
+    """Apply a 2x2 mixing matrix over the leading channel axis."""
+    (a, b), (c, d) = m
+    return np.asfortranarray([a * pair[0] + b * pair[1],
+                              c * pair[0] + d * pair[1]])
+
+
+def _legacy_mode(p) -> str | None:
+    for mode in ("reverse", "mid_side", "mid_side_b2"):
+        if p.get(mode):
+            return mode
+    return None
 
 
 def convert_channels(spec: np.ndarray, mp, band: int) -> np.ndarray:
-    """Per-band stereo encode (spec_utils.py:149-163)."""
-    cc = _param(mp)["band"][band].get("convert_channels")
-    if cc == "mid_side_c":
-        spec_left = np.add(spec[0], spec[1] * 0.25)
-        spec_right = np.subtract(spec[1], spec[0] * 0.25)
-    elif cc == "mid_side":
-        spec_left = np.add(spec[0], spec[1]) / 2
-        spec_right = np.subtract(spec[0], spec[1])
-    elif cc == "stereo_n":
-        spec_left = np.add(spec[0], spec[1] * 0.25) / 0.9375
-        spec_right = np.add(spec[1], spec[0] * 0.25) / 0.9375
-    else:
-        return spec
-    return np.asfortranarray([spec_left, spec_right])
+    """Per-band v5.1 stereo encode (spec_utils.py:149-163)."""
+    mode = _param(mp)["band"][band].get("convert_channels")
+    m = _V51_ENCODE.get(mode)
+    return spec if m is None else _mix2(spec, m)
+
+
+def _legacy_prefilter_gains(start: int, stop: int) -> np.ndarray:
+    """The reference's recursive multiband pre-filter roll-off
+    (spec_utils.py:184-189): each bin's dB slope depends on the previous
+    bin's linear gain, so the recurrence is kept and only the multiply is
+    vectorized."""
+    gains = np.empty(max(stop - start - 1, 0))
+    g = 1.0
+    for k in range(gains.shape[0]):
+        g = math.pow(10, -(k + 1) * (3.5 - g) / 20.0)
+        gains[k] = g
+    return gains
 
 
 def combine_spectrograms(specs: dict, mp,
                          is_v51_model: bool = False) -> np.ndarray:
-    """Stack per-band crops into the model's bin layout + pre-filter
-    (spec_utils.py:165-191)."""
+    """Concatenate each band's crop rows into the model's bin layout,
+    then apply the pre-filter roll-off (spec_utils.py:165-191)."""
     p = _param(mp)
-    l = min([specs[i].shape[2] for i in specs])
-    spec_c = np.zeros(shape=(2, p["bins"] + 1, l), dtype=np.complex64)
-    offset = 0
-    bands_n = len(p["band"])
-    for d in range(1, bands_n + 1):
-        h = p["band"][d]["crop_stop"] - p["band"][d]["crop_start"]
-        spec_c[:, offset:offset + h, :l] = \
-            specs[d][:, p["band"][d]["crop_start"]:p["band"][d]["crop_stop"],
-                     :l]
-        offset += h
-    if offset > p["bins"]:
+    n_frames = min(specs[i].shape[2] for i in specs)
+    bands = [p["band"][d] for d in range(1, len(p["band"]) + 1)]
+    rows = [specs[d + 1][:, b["crop_start"]:b["crop_stop"], :n_frames]
+            for d, b in enumerate(bands)]
+    used = sum(r.shape[1] for r in rows)
+    if used > p["bins"]:
         raise ValueError("offset > mp.param['bins']")
-    if p["pre_filter_start"] > 0:
+    out = np.zeros((2, p["bins"] + 1, n_frames), dtype=np.complex64)
+    out[:, :used] = np.concatenate(rows, axis=1)
+    lo, hi = p["pre_filter_start"], p["pre_filter_stop"]
+    if lo > 0:
         if is_v51_model:
-            spec_c *= get_lp_filter_mask(spec_c.shape[1],
-                                         p["pre_filter_start"],
-                                         p["pre_filter_stop"])
-        elif bands_n == 1:
-            spec_c = fft_lp_filter(spec_c, p["pre_filter_start"],
-                                   p["pre_filter_stop"])
+            out *= get_lp_filter_mask(out.shape[1], lo, hi)
+        elif len(bands) == 1:
+            out = fft_lp_filter(out, lo, hi)
         else:
-            gp = 1
-            for b in range(p["pre_filter_start"] + 1, p["pre_filter_stop"]):
-                g = math.pow(10, -(b - p["pre_filter_start"])
-                             * (3.5 - gp) / 20.0)
-                gp = g
-                spec_c[:, b, :] *= g
-    return np.asfortranarray(spec_c)
+            out[:, lo + 1:hi] *= _legacy_prefilter_gains(lo, hi)[None, :,
+                                                                 None]
+    return np.asfortranarray(out)
 
 
 def wave_to_spectrogram(wave: np.ndarray, hop_length: int = HOP,
@@ -342,27 +375,16 @@ def wave_to_spectrogram(wave: np.ndarray, hop_length: int = HOP,
     (wave_to_spectrogram_no_mp semantics, :381-385)."""
     wave = np.asarray(wave)
     if wave.ndim == 1:
-        wave = np.asfortranarray([wave, wave])
+        wave = np.stack([wave, wave])
     if mp is not None and not is_v51_model:
-        p = _param(mp)
-        if p["reverse"]:
-            wave_left = np.flip(np.asfortranarray(wave[0]))
-            wave_right = np.flip(np.asfortranarray(wave[1]))
-        elif p["mid_side"]:
-            wave_left = np.asfortranarray(np.add(wave[0], wave[1]) / 2)
-            wave_right = np.asfortranarray(np.subtract(wave[0], wave[1]))
-        elif p["mid_side_b2"]:
-            wave_left = np.asfortranarray(np.add(wave[1], wave[0] * 0.5))
-            wave_right = np.asfortranarray(np.subtract(wave[0],
-                                                       wave[1] * 0.5))
-        else:
-            wave_left = np.asfortranarray(wave[0])
-            wave_right = np.asfortranarray(wave[1])
-    else:
-        wave_left = np.asfortranarray(wave[0])
-        wave_right = np.asfortranarray(wave[1])
-    spec = np.asfortranarray([_stft_np(wave_left, n_fft, hop_length),
-                              _stft_np(wave_right, n_fft, hop_length)])
+        mode = _legacy_mode(_param(mp))
+        if mode == "reverse":
+            wave = wave[:, ::-1]
+        elif mode is not None:
+            wave = _mix2(wave, _LEGACY_ENCODE[mode])
+    spec = np.asfortranarray([
+        _stft_np(np.asfortranarray(wave[0]), n_fft, hop_length),
+        _stft_np(np.asfortranarray(wave[1]), n_fft, hop_length)])
     if is_v51_model and mp is not None:
         spec = convert_channels(spec, mp, band)
     return spec
@@ -376,100 +398,81 @@ def spectrogram_to_wave(spec: np.ndarray, hop_length: int = HOP, mp=None,
     spec = np.asarray(spec)
     if spec.ndim == 2:
         spec = np.stack([spec, spec])
-    wave_left = _istft_np(np.ascontiguousarray(spec[0]), hop_length, length)
-    wave_right = _istft_np(np.ascontiguousarray(spec[1]), hop_length, length)
+    pair = np.asfortranarray(
+        [_istft_np(np.ascontiguousarray(spec[0]), hop_length, length),
+         _istft_np(np.ascontiguousarray(spec[1]), hop_length, length)])
     if mp is None:
-        return np.asfortranarray([wave_left, wave_right])
+        return pair
     p = _param(mp)
     if is_v51_model:
-        cc = p["band"][band].get("convert_channels")
-        if cc == "mid_side_c":
-            return np.asfortranarray(
-                [np.subtract(wave_left / 1.0625, wave_right / 4.25),
-                 np.add(wave_right / 1.0625, wave_left / 4.25)])
-        if cc == "mid_side":
-            return np.asfortranarray([np.add(wave_left, wave_right / 2),
-                                      np.subtract(wave_left, wave_right / 2)])
-        if cc == "stereo_n":
-            return np.asfortranarray(
-                [np.subtract(wave_left, wave_right * 0.25),
-                 np.subtract(wave_right, wave_left * 0.25)])
-    else:
-        if p["reverse"]:
-            return np.asfortranarray([np.flip(wave_left),
-                                      np.flip(wave_right)])
-        if p["mid_side"]:
-            return np.asfortranarray([np.add(wave_left, wave_right / 2),
-                                      np.subtract(wave_left, wave_right / 2)])
-        if p["mid_side_b2"]:
-            return np.asfortranarray(
-                [np.add(wave_right / 1.25, 0.4 * wave_left),
-                 np.subtract(wave_left / 1.25, 0.4 * wave_right)])
-    return np.asfortranarray([wave_left, wave_right])
+        mode = p["band"][band].get("convert_channels")
+        m = _V51_DECODE.get(mode)
+        return pair if m is None else _mix2(pair, m)
+    mode = _legacy_mode(p)
+    if mode == "reverse":
+        return np.asfortranarray(pair[:, ::-1])
+    return pair if mode is None else _mix2(pair, _LEGACY_DECODE[mode])
+
+
+def _band_rows(bands) -> list:
+    """[(row0, row1)] — each band's row range inside the combined spec."""
+    heights = [b["crop_stop"] - b["crop_start"] for b in bands]
+    edges = np.concatenate([[0], np.cumsum(heights)])
+    return list(zip(edges[:-1], edges[1:]))
 
 
 def cmb_spectrogram_to_wave(spec_m: np.ndarray, mp, extra_bins_h=None,
                             extra_bins=None,
                             is_v51_model: bool = False) -> np.ndarray:
-    """Multi-band combined spectrogram -> wave, resampling the running
-    mix up band by band (spec_utils.py:241-287)."""
+    """Multi-band combined spectrogram -> wave (spec_utils.py:241-287).
+
+    Walks the bands bottom-up: each band's rows are re-seated at its own
+    FFT size, band-filtered (low band: LPF; middle: HPF+LPF; top: HPF +
+    optional grafted high-end), inverted, and the running mix is
+    resampled up to the next band's rate before the next band is added.
+    """
     p = _param(mp)
-    bands_n = len(p["band"])
-    offset = 0
-    wave = None
-    for d in range(1, bands_n + 1):
-        bp = p["band"][d]
-        spec_s = np.zeros(shape=(2, bp["n_fft"] // 2 + 1, spec_m.shape[2]),
-                          dtype=complex)
-        h = bp["crop_stop"] - bp["crop_start"]
-        spec_s[:, bp["crop_start"]:bp["crop_stop"], :] = \
-            spec_m[:, offset:offset + h, :]
-        offset += h
-        if d == bands_n:
-            if extra_bins_h:
-                max_bin = bp["n_fft"] // 2
-                spec_s[:, max_bin - extra_bins_h:max_bin, :] = \
-                    extra_bins[:, :extra_bins_h, :]
-            if bp["hpf_start"] > 0:
-                if is_v51_model:
-                    spec_s *= get_hp_filter_mask(spec_s.shape[1],
-                                                 bp["hpf_start"],
-                                                 bp["hpf_stop"] - 1)
-                else:
-                    spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
-                                           bp["hpf_stop"] - 1)
-            band_wave = spectrogram_to_wave(spec_s, bp["hl"], mp, d,
-                                            is_v51_model)
-            wave = band_wave if bands_n == 1 else np.add(wave, band_wave)
-        else:
-            sr = p["band"][d + 1]["sr"]
-            if d == 1:
-                if is_v51_model:
-                    spec_s *= get_lp_filter_mask(spec_s.shape[1],
-                                                 bp["lpf_start"],
-                                                 bp["lpf_stop"])
-                else:
-                    spec_s = fft_lp_filter(spec_s, bp["lpf_start"],
-                                           bp["lpf_stop"])
-                wave = _resample(spectrogram_to_wave(spec_s, bp["hl"], mp, d,
-                                                     is_v51_model),
-                                 bp["sr"], sr)
+    bands = [p["band"][d] for d in range(1, len(p["band"]) + 1)]
+    n_frames = spec_m.shape[2]
+    mix = None
+    for pos, (binfo, (row0, row1)) in enumerate(zip(bands,
+                                                    _band_rows(bands))):
+        top = pos == len(bands) - 1
+        band_spec = np.zeros((2, binfo["n_fft"] // 2 + 1, n_frames),
+                             dtype=complex)
+        band_spec[:, binfo["crop_start"]:binfo["crop_stop"]] = \
+            spec_m[:, row0:row1]
+
+        if top and extra_bins_h:
+            # graft the carried-over high-end rows under the Nyquist bin
+            nyq = binfo["n_fft"] // 2
+            band_spec[:, nyq - extra_bins_h:nyq] = \
+                extra_bins[:, :extra_bins_h]
+
+        hpf = (not top and pos > 0) or (top and binfo["hpf_start"] > 0)
+        if hpf:
+            if is_v51_model:
+                band_spec *= get_hp_filter_mask(
+                    band_spec.shape[1], binfo["hpf_start"],
+                    binfo["hpf_stop"] - 1)
             else:
-                if is_v51_model:
-                    spec_s *= get_hp_filter_mask(spec_s.shape[1],
-                                                 bp["hpf_start"],
-                                                 bp["hpf_stop"] - 1)
-                    spec_s *= get_lp_filter_mask(spec_s.shape[1],
-                                                 bp["lpf_start"],
-                                                 bp["lpf_stop"])
-                else:
-                    spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
-                                           bp["hpf_stop"] - 1)
-                    spec_s = fft_lp_filter(spec_s, bp["lpf_start"],
-                                           bp["lpf_stop"])
-                wave = _resample(np.add(wave, spectrogram_to_wave(
-                    spec_s, bp["hl"], mp, d, is_v51_model)), bp["sr"], sr)
-    return wave
+                band_spec = fft_hp_filter(band_spec, binfo["hpf_start"],
+                                          binfo["hpf_stop"] - 1)
+        if not top:
+            if is_v51_model:
+                band_spec *= get_lp_filter_mask(
+                    band_spec.shape[1], binfo["lpf_start"],
+                    binfo["lpf_stop"])
+            else:
+                band_spec = fft_lp_filter(band_spec, binfo["lpf_start"],
+                                          binfo["lpf_stop"])
+
+        band_wave = spectrogram_to_wave(band_spec, binfo["hl"], mp,
+                                        pos + 1, is_v51_model)
+        mix = band_wave if mix is None else np.add(mix, band_wave)
+        if not top:
+            mix = _resample(mix, binfo["sr"], bands[pos + 1]["sr"])
+    return mix
 
 
 def get_lp_filter_mask(n_bins: int, bin_start: int,
@@ -494,25 +497,25 @@ def get_hp_filter_mask(n_bins: int, bin_start: int,
 
 def fft_lp_filter(spec: np.ndarray, bin_start: int,
                   bin_stop: int) -> np.ndarray:
-    """Linear low-pass roll-off; mutates ``spec`` like the reference
-    (spec_utils.py:295-303)."""
-    g = 1.0
-    for b in range(bin_start, bin_stop):
-        g -= 1 / (bin_stop - bin_start)
-        spec[:, b, :] = g * spec[:, b, :]
-    spec[:, bin_stop:, :] *= 0
+    """Linear low-pass roll-off (1 -> 0 over [bin_start, bin_stop), zero
+    above); mutates ``spec`` like the reference (spec_utils.py:295-303)."""
+    span = bin_stop - bin_start
+    if span > 0:
+        ramp = 1.0 - np.arange(1, span + 1) / span
+        spec[:, bin_start:bin_stop] *= ramp[None, :, None]
+    spec[:, bin_stop:] *= 0
     return spec
 
 
 def fft_hp_filter(spec: np.ndarray, bin_start: int,
                   bin_stop: int) -> np.ndarray:
-    """Linear high-pass roll-off; mutates ``spec``
-    (spec_utils.py:305-313)."""
-    g = 1.0
-    for b in range(bin_start, bin_stop, -1):
-        g -= 1 / (bin_start - bin_stop)
-        spec[:, b, :] = g * spec[:, b, :]
-    spec[:, 0:bin_stop + 1, :] *= 0
+    """Linear high-pass roll-off (0 -> 1 over (bin_stop, bin_start], zero
+    at and below bin_stop); mutates ``spec`` (spec_utils.py:305-313)."""
+    span = bin_start - bin_stop
+    if span > 0:
+        ramp = 1.0 - np.arange(span, 0, -1) / span
+        spec[:, bin_stop + 1:bin_start + 1] *= ramp[None, :, None]
+    spec[:, :bin_stop + 1] *= 0
     return spec
 
 
@@ -719,50 +722,46 @@ def to_shape_minimize(x: np.ndarray, target_shape) -> np.ndarray:
     return to_shape(x, target_shape)
 
 
+def _first_loud_sample(audio: np.ndarray, threshold: float,
+                       frame: int) -> int:
+    """Start index of the first frame whose peak exceeds threshold, or
+    len(audio) if none does; stereo picks the louder channel (the
+    reference scans frames in a Python loop, spec_utils.py:472-505)."""
+    if audio.ndim == 2:
+        audio = audio[np.argmax(np.sum(np.abs(audio), axis=1))]
+    n = len(audio)
+    if n == 0:
+        return 0
+    padded = np.abs(np.concatenate([audio, np.zeros((-n) % frame)]))
+    loud = padded.reshape(-1, frame).max(axis=1) > threshold
+    hits = np.flatnonzero(loud)
+    return n if hits.size == 0 else int(hits[0]) * frame
+
+
 def detect_leading_silence(audio: np.ndarray, sr: int,
                            silence_threshold: float = 0.007,
                            frame_length: int = 1024) -> float:
     """Leading-silence length in ms (spec_utils.py:472-480)."""
-    if len(audio.shape) == 2:
-        channel = np.argmax(np.sum(np.abs(audio), axis=1))
-        audio = audio[channel]
-    for i in range(0, len(audio), frame_length):
-        if np.max(np.abs(audio[i:i + frame_length])) > silence_threshold:
-            return (i / sr) * 1000
-    return (len(audio) / sr) * 1000
+    return _first_loud_sample(np.asarray(audio), silence_threshold,
+                              frame_length) / sr * 1000
 
 
 def adjust_leading_silence(target_audio: np.ndarray,
                            reference_audio: np.ndarray,
                            silence_threshold: float = 0.01,
                            frame_length: int = 1024) -> np.ndarray:
-    """Pad/trim target's head so its first sound lines up with the
+    """Pad or trim target's head so its first sound lines up with the
     reference's (spec_utils.py:482-505)."""
-
-    def find_silence_end(audio):
-        if len(audio.shape) == 2:
-            channel = np.argmax(np.sum(np.abs(audio), axis=1))
-            audio_mono = audio[channel]
-        else:
-            audio_mono = audio
-        for i in range(0, len(audio_mono), frame_length):
-            if np.max(np.abs(audio_mono[i:i + frame_length])) \
-                    > silence_threshold:
-                return i
-        return len(audio_mono)
-
-    ref_silence_end = find_silence_end(reference_audio)
-    target_silence_end = find_silence_end(target_audio)
-    silence_difference = ref_silence_end - target_silence_end
-    if silence_difference > 0:
-        pad = (np.zeros((target_audio.shape[0], silence_difference))
-               if len(target_audio.shape) == 2
-               else np.zeros(silence_difference))
-        return np.hstack((pad, target_audio))
-    if silence_difference < 0:
-        return (target_audio[:, -silence_difference:]
-                if len(target_audio.shape) == 2
-                else target_audio[-silence_difference:])
+    shift = (_first_loud_sample(reference_audio, silence_threshold,
+                                frame_length)
+             - _first_loud_sample(target_audio, silence_threshold,
+                                  frame_length))
+    stereo = target_audio.ndim == 2
+    if shift > 0:
+        pad_shape = (target_audio.shape[0], shift) if stereo else shift
+        return np.hstack((np.zeros(pad_shape), target_audio))
+    if shift < 0:
+        return target_audio[:, -shift:] if stereo else target_audio[-shift:]
     return target_audio
 
 
