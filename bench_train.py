@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real chip (BASELINE r3, VERDICT #5).
+
+Full v2-48k GAN train step (G forward incl. 17280-sample NSF decode,
+MPD+MSD discriminator, both losses, both AdamW updates — the loop the
+reference runs in train.py:811-986) at production model dims.  Prints ONE
+JSON line: steps/s plus audio-hours-trained/day/chip (batch * segment
+seconds * steps/day).
+
+Env knobs: BENCH_TRAIN_BATCH (8), BENCH_TRAIN_ITERS (10),
+BENCH_TRAIN_REMAT (0), BENCH_TRAIN_SPEC_FRAMES (200 — ~2 s utterances,
+the bucket center; decode cost is segment-sliced so this mostly sizes
+enc_q/flow/disc inputs).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rvc_tpu_jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rvc_maker_tpu.config import preset
+    from rvc_maker_tpu.pipelines import train as train_mod
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    t_frames = int(os.environ.get("BENCH_TRAIN_SPEC_FRAMES", "200"))
+
+    cfg = preset("v2", 48000)
+    model = cfg.model
+    hop = cfg.data.hop_length
+    log(f"devices: {jax.devices()}  batch={batch} remat={remat} "
+        f"spec_frames={t_frames} (segment {model.segment_size * model.upp} "
+        f"samples)")
+
+    state = jax.jit(lambda k: train_mod.init_state(k, cfg))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(state.g_params)
+
+    rs = np.random.RandomState(0)
+    batch_data = train_mod.Batch(
+        phone=rs.randn(batch, t_frames,
+                       model.text_enc_hidden_dim).astype(np.float32),
+        phone_lengths=np.full((batch,), t_frames, np.int32),
+        pitch=rs.randint(1, 256, (batch, t_frames)).astype(np.int32),
+        pitchf=(rs.rand(batch, t_frames) * 200 + 80).astype(np.float32),
+        spec=rs.randn(batch, t_frames,
+                      model.spec_channels).astype(np.float32),
+        spec_lengths=np.full((batch,), t_frames, np.int32),
+        wave=(rs.randn(batch, t_frames * hop, 1) * 0.1).astype(np.float32),
+        sid=rs.randint(0, model.spk_embed_dim, (batch,)).astype(np.int32),
+    )
+
+    step = train_mod.make_train_step(cfg, remat=remat)
+    rng = jax.random.PRNGKey(1)
+
+    log("compiling train step ...")
+    t0 = time.time()
+    state, metrics = step(state, batch_data, rng)
+    jax.block_until_ready(metrics["loss_g"])
+    log(f"compile+first step: {time.time() - t0:.1f}s  "
+        f"loss_g={float(metrics['loss_g']):.3f} "
+        f"loss_d={float(metrics['loss_d']):.3f}")
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        state, metrics = step(state, batch_data, rng)
+        jax.block_until_ready(metrics["loss_g"])
+        times.append(time.time() - t0)
+    best = min(times)
+    steps_per_s = 1.0 / best
+    # each step trains batch random slices of segment_size*upp samples
+    seg_sec = model.segment_size * model.upp / model.sr
+    audio_hours_per_day = steps_per_s * batch * seg_sec * 86400 / 3600
+    log(f"times: {[f'{t:.3f}' for t in times]}  -> {steps_per_s:.2f} steps/s, "
+        f"{audio_hours_per_day:.1f} audio-hours-trained/day/chip")
+
+    print(json.dumps({
+        "metric": "train_steps_per_s_per_chip",
+        "value": round(steps_per_s, 3),
+        "unit": f"v2-48k GAN steps/s (B={batch}, remat={int(remat)})",
+        "audio_hours_trained_per_day_per_chip": round(audio_hours_per_day, 1),
+        "loss_finite": bool(np.isfinite(float(metrics["loss_g"]))),
+    }))
+
+
+if __name__ == "__main__":
+    main()

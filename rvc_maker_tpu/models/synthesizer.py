@@ -333,13 +333,26 @@ def source_module(p: Params, f0, noise, *, upp: int, sample_rate: int):
 # ---------------------------------------------------------------------------
 
 def _resblock(p: Params, x, *, kernel_size: int, dilations):
+    # RVC_TPU_INT8=1 (bf16 mode): W8A8 resblock convs on the MXU int8
+    # path — measured 1.27-1.40x over bf16 at C>=256 (docs/perf_notes.md
+    # int8 probe); C>=64 gate keeps the lane-starved stages on the
+    # space-to-depth fold instead.
+    from ..ops.int8_conv import conv1d_w8a8, int8_enabled
+
+    use_int8 = int8_enabled(x.dtype) and x.shape[-1] >= 64
+
+    def cv(y, c, d, pad):
+        if use_int8:
+            return conv1d_w8a8(y, c["w"], c["b"], dilation=d, padding=pad)
+        return conv1d(y, c["w"], c["b"], dilation=d, padding=pad)
+
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         pad1 = (kernel_size * d - d) // 2
         pad2 = (kernel_size - 1) // 2
         y = leaky_relu(x, LRELU_SLOPE)
-        y = conv1d(y, c1["w"], c1["b"], dilation=d, padding=pad1)
+        y = cv(y, c1, d, pad1)
         y = leaky_relu(y, LRELU_SLOPE)
-        y = conv1d(y, c2["w"], c2["b"], dilation=1, padding=pad2)
+        y = cv(y, c2, 1, pad2)
         x = y + x
     return x
 

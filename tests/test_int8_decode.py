@@ -1,0 +1,75 @@
+"""W8A8 int8 decode path (RVC_TPU_INT8=1, bf16 fast mode only)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rvc_maker_tpu.config import ModelConfig
+from rvc_maker_tpu.models import synthesizer as syn
+from rvc_maker_tpu.ops.int8_conv import conv1d_w8a8, int8_enabled
+from rvc_maker_tpu.ops.nn import conv1d
+
+CFG = ModelConfig(
+    spec_channels=129, segment_size=16, inter_channels=64, hidden_channels=64,
+    filter_channels=128, n_heads=2, n_layers=1, kernel_size=3,
+    resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3)),
+    upsample_rates=(5, 4, 2), upsample_initial_channel=256,
+    upsample_kernel_sizes=(10, 8, 4), spk_embed_dim=4, gin_channels=32,
+    sr=16000, use_f0=True, text_enc_hidden_dim=96)
+
+
+def test_conv1d_w8a8_close_to_fp32():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 300, 128) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(7, 128, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rs.randn(128) * 0.01, jnp.float32)
+    ref = conv1d(x, w, b, dilation=3, padding=9)
+    got = conv1d_w8a8(x, w, b, dilation=3, padding=9)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_int8_gate_respects_dtype_and_env(monkeypatch):
+    monkeypatch.delenv("RVC_TPU_INT8", raising=False)
+    assert not int8_enabled(jnp.bfloat16)
+    monkeypatch.setenv("RVC_TPU_INT8", "1")
+    assert int8_enabled(jnp.bfloat16)
+    assert not int8_enabled(jnp.float32)  # parity mode never quantizes
+
+
+def test_int8_decode_quality_gate(monkeypatch):
+    """bf16 decode with int8 resblocks stays close to the bf16 decode:
+    the cheap random-weights proxy for the mel-distance gate."""
+    params = syn.init_params(jax.random.PRNGKey(0), CFG)
+    rs = np.random.RandomState(1)
+    b, t = 2, 40
+    z = rs.randn(b, t, CFG.inter_channels).astype(np.float32) * 0.5
+    f0 = (rs.rand(b, t) * 300 + 80).astype(np.float32)
+    g = rs.randn(b, 1, CFG.gin_channels).astype(np.float32)
+    noise = np.zeros((b, t * CFG.upp, 1), np.float32)
+
+    def decode():
+        bf = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "astype") and a.dtype == np.float32 else a,
+            params["dec"])
+        out = syn.generator_nsf(bf, CFG, jnp.asarray(z, jnp.bfloat16),
+                                jnp.asarray(f0),
+                                jnp.asarray(g, jnp.bfloat16),
+                                jnp.asarray(noise, jnp.bfloat16))
+        return np.asarray(out, np.float32)
+
+    monkeypatch.delenv("RVC_TPU_INT8", raising=False)
+    ref = decode()
+    monkeypatch.setenv("RVC_TPU_INT8", "1")
+    got = decode()
+
+    assert got.shape == ref.shape
+    assert np.isfinite(got).all()
+    # correlation + relative error: quantization noise, not distortion
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert corr > 0.98, corr
+    assert rel < 0.2, rel
