@@ -66,15 +66,17 @@ def main():
     results = {}
     for method in ("rmvpe", "pm"):
         settings = ConvertSettings(f0_method=method, index_rate=0.0)
+        # np.asarray forces the host round trip: through the axon tunnel
+        # block_until_ready alone returns early (impossible 2 ms readings)
         t0 = time.time()
         wav, _ = pipe.convert_batch(audio, lengths, 0, settings)
-        jax.block_until_ready(wav)
+        np.asarray(wav)
         cold = time.time() - t0
         times = []
         for _ in range(iters):
             t0 = time.time()
             wav, _ = pipe.convert_batch(audio, lengths, 0, settings)
-            jax.block_until_ready(wav)
+            np.asarray(wav)
             times.append(time.time() - t0)
         warm = min(times)
         med = sorted(times)[len(times) // 2]
