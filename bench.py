@@ -35,7 +35,10 @@ def main():
     from rvc_maker_tpu.models import synthesizer as syn
     from rvc_maker_tpu.pipelines.convert import ConvertPipeline, ConvertSettings
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # default batch 128: per-dispatch overhead amortizes over the same
+    # per-microbatch (mdb=16) program — measured 385.7 vs 324 audio-sec/s
+    # at B=32 (BASELINE.md r2)
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     index_rows = int(os.environ.get("BENCH_INDEX_ROWS", "10000"))
