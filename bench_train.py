@@ -50,7 +50,7 @@ def main():
 
     state = jax.jit(lambda k: train_mod.init_state(k, cfg))(
         jax.random.PRNGKey(0))
-    jax.block_until_ready(state.g_params)
+    jax.block_until_ready(state.params_g)
 
     rs = np.random.RandomState(0)
     batch_data = train_mod.Batch(
@@ -66,13 +66,16 @@ def main():
         sid=rs.randint(0, model.spk_embed_dim, (batch,)).astype(np.int32),
     )
 
-    step = train_mod.make_train_step(cfg, remat=remat)
+    step = jax.jit(train_mod.make_train_step(cfg, remat=remat),
+                   donate_argnums=0)
     rng = jax.random.PRNGKey(1)
 
     log("compiling train step ...")
+    # float() fetches to host: through the axon tunnel
+    # block_until_ready returns early and produces fictional timings
     t0 = time.time()
     state, metrics = step(state, batch_data, rng)
-    jax.block_until_ready(metrics["loss_g"])
+    float(metrics["loss_g"])
     log(f"compile+first step: {time.time() - t0:.1f}s  "
         f"loss_g={float(metrics['loss_g']):.3f} "
         f"loss_d={float(metrics['loss_d']):.3f}")
@@ -81,7 +84,7 @@ def main():
     for _ in range(iters):
         t0 = time.time()
         state, metrics = step(state, batch_data, rng)
-        jax.block_until_ready(metrics["loss_g"])
+        float(metrics["loss_g"])
         times.append(time.time() - t0)
     best = min(times)
     steps_per_s = 1.0 / best
