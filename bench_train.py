@@ -39,12 +39,13 @@ def main():
     batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    bf16 = os.environ.get("BENCH_TRAIN_BF16", "0") == "1"
     t_frames = int(os.environ.get("BENCH_TRAIN_SPEC_FRAMES", "200"))
 
     cfg = preset("v2", 48000)
     model = cfg.model
     hop = cfg.data.hop_length
-    log(f"devices: {jax.devices()}  batch={batch} remat={remat} "
+    log(f"devices: {jax.devices()}  batch={batch} remat={remat} bf16={bf16} "
         f"spec_frames={t_frames} (segment {model.segment_size * model.upp} "
         f"samples)")
 
@@ -66,7 +67,7 @@ def main():
         sid=rs.randint(0, model.spk_embed_dim, (batch,)).astype(np.int32),
     )
 
-    step = jax.jit(train_mod.make_train_step(cfg, remat=remat),
+    step = jax.jit(train_mod.make_train_step(cfg, remat=remat, bf16=bf16),
                    donate_argnums=0)
     rng = jax.random.PRNGKey(1)
 
@@ -97,7 +98,7 @@ def main():
     print(json.dumps({
         "metric": "train_steps_per_s_per_chip",
         "value": round(steps_per_s, 3),
-        "unit": f"v2-48k GAN steps/s (B={batch}, remat={int(remat)})",
+        "unit": f"v2-48k GAN steps/s (B={batch}, remat={int(remat)}, bf16={int(bf16)})",
         "audio_hours_trained_per_day_per_chip": round(audio_hours_per_day, 1),
         "loss_finite": bool(np.isfinite(float(metrics["loss_g"]))),
     }))

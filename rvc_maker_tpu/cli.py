@@ -133,6 +133,11 @@ def cmd_train(args):
     _setup_logging(args.exp_dir, "train")
     cfg = preset(args.version, args.sample_rate, vocoder=args.vocoder,
                  pitch_guidance=args.pitch_guidance)
+    if args.bf16 or args.checkpointing:
+        from dataclasses import replace
+
+        cfg = replace(cfg, train=replace(cfg.train, bf16=args.bf16,
+                                         remat=args.checkpointing))
     if not args.pretrain_g and not args.no_pretrained:
         # reference downloads pretrained G/D before training
         # (app.py:1310-1320); degrade to from-scratch offline
@@ -675,6 +680,12 @@ def build_parser():
     st.add_argument("--cleanup", action="store_true",
                     help="wipe old checkpoints/logs before training "
                          "(reference --cleanup)")
+    st.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 forward/backward,"
+                         " fp32 master params (reference fp16 autocast)")
+    st.add_argument("--checkpointing", action="store_true",
+                    help="rematerialize G/D forwards during backprop "
+                         "(reference --checkpointing; needed for B>=16)")
     st.set_defaults(func=cmd_train)
 
     sc = sub.add_parser("convert")

@@ -28,6 +28,12 @@ class TrainConfig:
     segment_size: int = 12800
     c_mel: float = 45.0
     c_kl: float = 1.0
+    # TPU mixed precision (the reference's fp16 autocast option,
+    # train.py:799): bf16 forward/backward, fp32 master params/losses
+    bf16: bool = False
+    # jax.checkpoint the G forward + disc applies (reference
+    # checkpointing flag, train.py:619-623); required headroom for B>=16
+    remat: bool = False
 
 
 @dataclass(frozen=True)

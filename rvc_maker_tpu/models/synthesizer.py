@@ -655,7 +655,8 @@ def train_forward(params: Params, cfg: ModelConfig, phone, phone_lengths,
     g = embedding(params["emb_g"]["w"], ds)[:, None, :]
     m_p, logs_p, x_mask = text_encoder(params["enc_p"], cfg, phone, pitch,
                                        phone_lengths)
-    post_noise = jax.random.normal(k_post, (y.shape[0], y.shape[1], cfg.inter_channels))
+    post_noise = jax.random.normal(k_post, (y.shape[0], y.shape[1],
+                                            cfg.inter_channels), y.dtype)
     z, m_q, logs_q, y_mask = posterior_encoder(params["enc_q"], cfg, y,
                                                y_lengths, g, post_noise)
     seg = cfg.segment_size

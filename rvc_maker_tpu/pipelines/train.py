@@ -95,26 +95,50 @@ class Batch:
     sid: Any            # (B,)
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves to dtype (ints/bools untouched)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
 def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
-                    remat: bool = False):
+                    remat: bool = False, bf16: bool = False):
     """Returns jittable train_step(state, batch, rng) -> (state, metrics).
 
     disc_width_div shrinks discriminator channels for dry runs/tests
     (1 == reference architecture).  remat=True rematerializes the
     generator forward and discriminator applications during backprop
     (jax.checkpoint — the reference's torch.utils.checkpoint equivalent,
-    train.py:619-623; trades FLOPs for HBM on long segments)."""
+    train.py:619-623; trades FLOPs for HBM on long segments).
+
+    bf16=True is the TPU-native mixed-precision mode (the reference's
+    fp16 autocast + GradScaler, train.py:799,842): fp32 master params
+    and optimizer state; forward/backward run with params and float
+    inputs cast to bfloat16 (the cast happens inside the differentiated
+    function, so grads land in fp32); the mel/KL losses compute in fp32
+    (mel L1 x45 is the dominant term).  No loss scaling — bf16 has fp32
+    exponent range.  SineGen phase accumulation stays fp32 inside
+    generator_nsf regardless of dtype (models/synthesizer.py:305)."""
     mcfg = cfg.model
     dcfg = cfg.data
     seg_frames = cfg.train.segment_size // dcfg.hop_length
     periods = disc.PERIODS_V2 if cfg.version == "v2" else disc.PERIODS_V1
     opt = make_optimizer(cfg)
+    half = jnp.bfloat16 if bf16 else None
 
     def _forward_g_raw(params_g, batch: Batch, rng):
+        if half is not None:
+            params_g = _cast_floats(params_g, half)
+            batch = _cast_floats(batch, half)
         y_hat, ids_slice, x_mask, y_mask, latents = syn.train_forward(
             params_g, mcfg, batch.phone, batch.phone_lengths,
             batch.pitch if mcfg.use_f0 else None, batch.pitchf,
             batch.spec, batch.spec_lengths, batch.sid, rng)
+        if half is not None:
+            # latents feed the fp32 KL loss; y_mask multiplies there too
+            latents = _cast_floats(latents, jnp.float32)
+            y_mask = y_mask.astype(jnp.float32)
         return y_hat, ids_slice, y_mask, latents
 
     forward_g = jax.checkpoint(_forward_g_raw) if remat else _forward_g_raw
@@ -122,9 +146,16 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
            if remat else disc.mpd_apply)
 
     def d_loss_fn(params_d, wave_slice, y_hat):
+        if half is not None:
+            params_d = _cast_floats(params_d, half)
+            wave_slice = wave_slice.astype(half)
+            y_hat = y_hat.astype(half)
         y_d_r, y_d_g, _, _ = mpd(params_d, wave_slice,
                                  jax.lax.stop_gradient(y_hat),
                                  periods, disc_width_div)
+        if half is not None:
+            y_d_r = _cast_floats(y_d_r, jnp.float32)
+            y_d_g = _cast_floats(y_d_g, jnp.float32)
         loss_d, r_losses, g_losses = disc.discriminator_loss(y_d_r, y_d_g)
         return loss_d, (r_losses, g_losses)
 
@@ -132,21 +163,33 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
         y_hat, ids_slice, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = \
             forward_g(params_g, batch, rng)
 
-        mel = spec_to_mel(batch.spec, n_fft=dcfg.filter_length,
+        # mel branch in fp32 (mel L1 x45 dominates the G loss; STFT in
+        # bf16 would put half the loss signal into rounding noise)
+        y_hat32 = y_hat.astype(jnp.float32)
+        mel = spec_to_mel(batch.spec.astype(jnp.float32),
+                          n_fft=dcfg.filter_length,
                           n_mels=dcfg.n_mel_channels,
                           sample_rate=dcfg.sample_rate, fmin=dcfg.mel_fmin,
                           fmax=dcfg.mel_fmax)
         y_mel = slice_segments(mel, ids_slice, seg_frames)
         y_hat_mel = mel_spectrogram(
-            y_hat[:, :, 0], n_fft=dcfg.filter_length,
+            y_hat32[:, :, 0], n_fft=dcfg.filter_length,
             num_mels=dcfg.n_mel_channels, sample_rate=dcfg.sample_rate,
             hop_length=dcfg.hop_length, win_length=dcfg.win_length,
             fmin=dcfg.mel_fmin, fmax=dcfg.mel_fmax)
         wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
                                     cfg.train.segment_size)
 
-        y_d_r, y_d_g, fmap_r, fmap_g = mpd(params_d, wave_slice, y_hat,
-                                           periods, disc_width_div)
+        d_params = (_cast_floats(params_d, half) if half is not None
+                    else params_d)
+        y_d_r, y_d_g, fmap_r, fmap_g = mpd(
+            d_params,
+            wave_slice.astype(half) if half is not None else wave_slice,
+            y_hat, periods, disc_width_div)
+        if half is not None:
+            y_d_g = _cast_floats(y_d_g, jnp.float32)
+            fmap_r = _cast_floats(fmap_r, jnp.float32)
+            fmap_g = _cast_floats(fmap_g, jnp.float32)
         loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
         loss_kl = disc.kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
         loss_fm = disc.feature_loss(fmap_r, fmap_g)
@@ -203,12 +246,12 @@ def _with_lr(opt_state, lr):
 # ---------------------------------------------------------------------------
 
 def make_sharded_train_step(cfg: RVCConfig, mesh, disc_width_div: int = 1,
-                            remat: bool = False):
+                            remat: bool = False, bf16: bool = False):
     """jit the train step with batch sharded over 'data', params/opt
     replicated. XLA inserts the grad all-reduce (SURVEY.md §2.8)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step = make_train_step(cfg, disc_width_div, remat)
+    step = make_train_step(cfg, disc_width_div, remat, bf16)
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 

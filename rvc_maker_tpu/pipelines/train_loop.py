@@ -205,7 +205,8 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         logger.info("resumed from %s at step %d", latest, int(np.asarray(state.step)))
     state = replicate(state, mesh)
 
-    step_fn = train_mod.make_sharded_train_step(cfg, mesh)
+    step_fn = train_mod.make_sharded_train_step(
+        cfg, mesh, remat=cfg.train.remat, bf16=cfg.train.bf16)
     detector = OvertrainingDetector(threshold_g=overtraining_threshold)
     training_json = os.path.join(exp_dir, "training_data.json")
     detector.load_json(training_json)   # resume histories (train.py:187-190)

@@ -116,6 +116,8 @@ _SLOW_TESTS = {
     "test_train_loop.py::test_train_loop_end_to_end",
     "test_train_step.py::test_remat_step_matches_plain",
     "test_train_step.py::test_sharded_step_matches_single_device",
+    "test_train_step.py::test_bf16_remat_composes",
+    "test_train_step.py::test_bf16_step_tracks_fp32",
     "test_train_step.py::test_single_device_step_runs_and_updates",
     "test_vocoder_training.py::test_alt_vocoder_export_import_roundtrip",
     "test_vocoder_training.py::test_train_step_alt_vocoder",

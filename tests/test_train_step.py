@@ -105,3 +105,39 @@ def test_remat_step_matches_plain(state):
     l2 = jax.tree_util.tree_leaves(s2.params_g)[0]
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-3,
                                atol=1e-6)
+
+
+def test_bf16_step_tracks_fp32(state):
+    """Mixed-precision step (bf16 forward/backward, fp32 masters): runs,
+    keeps fp32 param/optimizer dtypes, finite losses in the same ballpark
+    as fp32, and params actually move."""
+    batch = _batch(b=2, seed=7)
+    rng = jax.random.PRNGKey(13)
+    plain = jax.jit(train_mod.make_train_step(CFG, disc_width_div=16))
+    half = jax.jit(train_mod.make_train_step(CFG, disc_width_div=16,
+                                             bf16=True))
+    s1, m1 = plain(state, batch, rng)
+    s2, m2 = half(state, batch, rng)
+    for k in ("loss_g", "loss_d", "loss_mel", "loss_kl"):
+        a, b = float(m1[k]), float(m2[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.1, (k, a, b)
+    # master params stay fp32 and move
+    for leaf in jax.tree_util.tree_leaves(s2.params_g):
+        assert leaf.dtype == jnp.float32
+    l0 = jax.tree_util.tree_leaves(state.params_g)[0]
+    l2 = jax.tree_util.tree_leaves(s2.params_g)[0]
+    assert float(jnp.abs(l2 - l0).max()) > 0
+    # bf16 grads land near the fp32 ones
+    g1 = float(m1["grad_norm_g"])
+    g2 = float(m2["grad_norm_g"])
+    assert abs(g1 - g2) / max(g1, 1e-6) < 0.25, (g1, g2)
+
+
+def test_bf16_remat_composes(state):
+    batch = _batch(b=2, seed=8)
+    rng = jax.random.PRNGKey(17)
+    step = jax.jit(train_mod.make_train_step(CFG, disc_width_div=16,
+                                             remat=True, bf16=True))
+    s, m = step(state, batch, rng)
+    assert np.isfinite(float(m["loss_g"])) and np.isfinite(float(m["loss_d"]))
