@@ -123,3 +123,21 @@ def test_cli_edit_gated_without_weights(tmp_path, tone_wav):
     with pytest.raises(RuntimeError, match="download-gated"):
         main(["edit", "--input-path", tone_wav,
               "--output-path", str(tmp_path / "x.wav")])
+
+
+def test_train_bf16_checkpointing_flags_reach_config(monkeypatch):
+    """--bf16/--checkpointing must land in cfg.train (wiring guard)."""
+    captured = {}
+
+    def fake_train(exp_dir, cfg, **kw):
+        captured["cfg"] = cfg
+        return None
+
+    monkeypatch.setattr("rvc_maker_tpu.pipelines.train_loop.train",
+                        fake_train)
+    main(["train", "--exp-dir", "/tmp/_cli_bf16_test", "--sample-rate",
+          "48000", "--epochs", "1", "--no-pretrained", "--bf16",
+          "--checkpointing"])
+    cfg = captured["cfg"]
+    assert cfg.train.bf16 is True
+    assert cfg.train.remat is True
