@@ -74,10 +74,16 @@ def _term_factors(term):
 
 
 def _factor_parts(f):
-    """(var, operation, operands) of one factor; var is None for op nodes."""
+    """(var, op_name, operands) of one factor; var is None for op nodes.
+    op_name is one of "floordiv"/"mod"/"max"/"min" (or the raw operation
+    string for anything newer) — the private operation constants are
+    mapped HERE so no caller touches the private API."""
     try:
-        return f.var, (None if f.var is not None else f.operation), \
-            (None if f.var is not None else f.operands)
+        if f.var is not None:
+            return f.var, None, None
+        names = {f.FLOORDIV: "floordiv", f.MOD: "mod",
+                 f.MAX: "max", f.MIN: "min"}
+        return None, names.get(f.operation, str(f.operation)), f.operands
     except AttributeError as e:
         raise _dim_api_error(e) from e
 
@@ -179,8 +185,8 @@ class OnnxBuilder:
             return self.dim_vars[var]
         a, c = operands
         x, y = self.dim_scalar(a), self.dim_scalar(c)
-        onnx_of = {f.FLOORDIV: "Div", f.MOD: "Mod",
-                   f.MAX: "Max", f.MIN: "Min"}
+        onnx_of = {"floordiv": "Div", "mod": "Mod",
+                   "max": "Max", "min": "Min"}
         if operation not in onnx_of:
             raise NotImplementedError(f"dim operation {operation}")
         return self.add(onnx_of[operation], [x, y])

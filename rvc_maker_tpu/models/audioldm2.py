@@ -407,6 +407,12 @@ def _attn_slots(slots, cfg: UNetConfig, x, eh0, eh1, *, channels: int,
     (encoder_hidden_states, GPT2 stream); idx > 1 attends eh1
     (encoder_hidden_states_1, T5/CLAP stream) — the routing in
     diffusers modeling_audioldm2 CrossAttnDownBlock2D.forward."""
+    if len(slots) != len(cfg.slot_dims):
+        raise ValueError(
+            f"{len(slots)} attention slots but cfg.slot_dims has "
+            f"{len(cfg.slot_dims)} entries — slot routing would silently "
+            "drop transformers; rebuild cfg from the checkpoint "
+            "(unet_params_from_state_dict returns the matching config)")
     heads = cfg.heads_for(channels)
     for idx, (slot, dim) in enumerate(zip(slots, cfg.slot_dims)):
         kv = None if dim is None else (eh0 if idx <= 1 else eh1)
@@ -504,10 +510,14 @@ def unet_forward(p: Params, cfg: UNetConfig, sample, timestep, eh0, eh1):
     h = conv2d(sample, p["conv_in"]["w"], p["conv_in"]["b"])
     skips = [h]
     for blk in p["down"]:
-        for r, a in zip(blk["res"], blk["attn"]):
+        for j, r in enumerate(blk["res"]):
             h = _resnet(r, h, temb, groups=g)
-            h = _attn_slots(a, cfg, h, eh0, eh1, channels=h.shape[-1],
-                            groups=g)
+            # attention-less blocks (diffusers DownBlock2D/UpBlock2D —
+            # the real audioldm2 layout ends its down stack with one)
+            # carry no "attn" entry
+            if "attn" in blk:
+                h = _attn_slots(blk["attn"][j], cfg, h, eh0, eh1,
+                                channels=h.shape[-1], groups=g)
             skips.append(h)
         if "down" in blk:
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -516,17 +526,19 @@ def unet_forward(p: Params, cfg: UNetConfig, sample, timestep, eh0, eh1):
             skips.append(h)
     m = p["mid"]
     h = _resnet(m["res1"], h, temb, groups=g)
-    h = _attn_slots(m["attn"], cfg, h, eh0, eh1, channels=h.shape[-1],
-                    groups=g)
+    if m.get("attn"):
+        h = _attn_slots(m["attn"], cfg, h, eh0, eh1, channels=h.shape[-1],
+                        groups=g)
     h = _resnet(m["res2"], h, temb, groups=g)
 
     for blk in p["up"]:
-        for r, a in zip(blk["res"], blk["attn"]):
+        for j, r in enumerate(blk["res"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
             h = _resnet(r, h, temb, groups=g)
-            h = _attn_slots(a, cfg, h, eh0, eh1, channels=h.shape[-1],
-                            groups=g)
+            if "attn" in blk:
+                h = _attn_slots(blk["attn"][j], cfg, h, eh0, eh1,
+                                channels=h.shape[-1], groups=g)
         if "upconv" in blk:
             h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             h = conv2d(h, blk["upconv"]["w"], blk["upconv"]["b"])
@@ -682,9 +694,23 @@ def unet_params_from_state_dict(sd, *, head_dim: int | None = 8,
     # infer the config from the imported weights
     widths = tuple(blk["res"][0]["conv1"]["w"].shape[-1]
                    for blk in p["down"])
-    inner = p["down"][0]["attn"][0][0]["proj_in"]["w"].shape[0]
+    attn_layers = [layer for blk in p["down"] + p["up"]
+                   for layer in blk.get("attn", [])]
+    if p["mid"]["attn"]:
+        attn_layers.append(p["mid"]["attn"])
+    if not attn_layers:
+        raise ValueError("UNet checkpoint has no attention blocks")
+    per = len(attn_layers[0])
+    bad = [len(s) for s in attn_layers if len(s) != per]
+    if bad:
+        raise ValueError(
+            f"inconsistent attention-slot counts across blocks: {per} vs "
+            f"{sorted(set(bad))} — the forward's slot routing assumes one "
+            "uniform cross_attention_dim list (diffusers config-level)")
+    first = attn_layers[0]  # first attention-carrying layer (down order)
+    inner = first[0]["proj_in"]["w"].shape[0]
     cross_dims = []
-    for slot in p["down"][0]["attn"][0]:
+    for slot in first:
         kd = slot["blocks"][0]["attn2"]["k"]["w"].shape[0]
         cross_dims.append(None if kd == inner else int(kd))
     cfg = UNetConfig(

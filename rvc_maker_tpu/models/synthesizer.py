@@ -332,14 +332,17 @@ def source_module(p: Params, f0, noise, *, upp: int, sample_rate: int):
 # NSF-HiFiGAN generator — reference synthesizers.py:114-168
 # ---------------------------------------------------------------------------
 
-def _resblock(p: Params, x, *, kernel_size: int, dilations):
-    # RVC_TPU_INT8=1 (bf16 mode): W8A8 resblock convs on the MXU int8
-    # path — measured 1.27-1.40x over bf16 at C>=256 (docs/perf_notes.md
-    # int8 probe); C>=64 gate keeps the lane-starved stages on the
-    # space-to-depth fold instead.
+def _resblock(p: Params, x, *, kernel_size: int, dilations,
+              use_int8: bool = False):
+    # use_int8 (threaded from the INFERENCE entry points only — int8's
+    # round/clip has zero gradient, so it must never reach a train
+    # forward) + RVC_TPU_INT8=1 + bf16: W8A8 resblock convs on the MXU
+    # int8 path (measured per-conv 1.27-1.40x at C>=256 but e2e negative
+    # so far, docs/perf_notes.md); C>=64 keeps lane-starved stages on
+    # the space-to-depth fold.
     from ..ops.int8_conv import conv1d_w8a8, int8_enabled
 
-    use_int8 = int8_enabled(x.dtype) and x.shape[-1] >= 64
+    use_int8 = use_int8 and int8_enabled(x.dtype) and x.shape[-1] >= 64
 
     def cv(y, c, d, pad):
         if use_int8:
@@ -415,7 +418,7 @@ def _fold_enabled(dtype) -> bool:
 
 
 def _resblock_group(p: Params, x, indices, *, kernels, dilations,
-                    use_pallas: bool):
+                    use_pallas: bool, use_int8: bool = False):
     """Sum/avg of the stage's resblocks (reference synthesizers.py:141-149),
     with the space-to-depth fold applied around the whole group when the
     stage is lane-starved (C*4 <= 128) — one fold + one unfold per stage."""
@@ -436,13 +439,14 @@ def _resblock_group(p: Params, x, indices, *, kernels, dilations,
     xs = None
     for idx, ks, ds in zip(indices, kernels, dilations):
         r = _resblock_opt(p["resblocks"][idx], x, kernel_size=ks,
-                          dilations=ds, use_pallas=use_pallas)
+                          dilations=ds, use_pallas=use_pallas,
+                          use_int8=use_int8)
         xs = r if xs is None else xs + r
     return xs / len(indices)
 
 
 def _resblock_opt(rb: Params, x, *, kernel_size: int, dilations,
-                  use_pallas: bool):
+                  use_pallas: bool, use_int8: bool = False):
     """Resblock with the optional optimized implementations (time-blocked
     conv rewrite for C < 128, fused Pallas chain for lane-multiple C)."""
     if use_pallas:
@@ -461,10 +465,12 @@ def _resblock_opt(rb: Params, x, *, kernel_size: int, dilations,
             return fused_resblock(
                 x, *packed, kernel_size=kernel_size, dilations=dilations,
                 interpret=jax.default_backend() not in ("tpu", "axon"))
-    return _resblock(rb, x, kernel_size=kernel_size, dilations=dilations)
+    return _resblock(rb, x, kernel_size=kernel_size, dilations=dilations,
+                     use_int8=use_int8)
 
 
-def generator(p: Params, cfg: ModelConfig, x, g, *, use_pallas: bool = False):
+def generator(p: Params, cfg: ModelConfig, x, g, *,
+              use_pallas: bool = False, use_int8: bool = False):
     """Plain HiFi-GAN decode for f0-less models (reference
     synthesizers.py:21-67 Generator; selected when use_f0 is false,
     synthesizers.py:424).  x: (B, T, inter); g: (B, 1, gin) or None."""
@@ -481,14 +487,15 @@ def generator(p: Params, cfg: ModelConfig, x, g, *, use_pallas: bool = False):
         x = _resblock_group(p, x, [i * nk + j for j in range(nk)],
                             kernels=cfg.resblock_kernel_sizes,
                             dilations=cfg.resblock_dilation_sizes,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas, use_int8=use_int8)
     x = leaky_relu(x, 0.01)   # torch F.leaky_relu default (:56)
     x = conv1d(x, p["conv_post"]["w"], None, padding=3)  # bias=False
     return jnp.tanh(x)
 
 
 def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False,
+                  use_int8: bool = False):
     """NSF-HiFiGAN decode. x: (B, T, inter); f0: (B, T) Hz; g: (B, 1, gin);
     sine_noise: (B, T*upp, 1). Returns waveform (B, T*upp, 1).
 
@@ -515,7 +522,8 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
         x = _resblock_group(p, x, [i * nk + j for j in range(nk)],
                             kernels=cfg.resblock_kernel_sizes,
                             dilations=cfg.resblock_dilation_sizes,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            use_int8=use_int8)
 
     x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here (ref :161)
     x = conv1d(x, p["conv_post"]["w"], None, padding=3)  # bias=False
@@ -527,7 +535,8 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
 # ---------------------------------------------------------------------------
 
 def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
-              nsff0, sid, rng, *, use_pallas: bool = False):
+              nsff0, sid, rng, *, use_pallas: bool = False,
+              use_int8: bool = False):
     """Inference with decoder dispatch on cfg.vocoder (Default NSF /
     MRF HiFi-GAN / RefineGAN), PRNG-driven noise (production mode).
 
@@ -544,7 +553,8 @@ def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
     if not cfg.use_f0:
         # f0-less models decode with the plain Generator regardless of
         # vocoder (reference synthesizers.py:424)
-        return generator(params["dec"], cfg, z, g, use_pallas=use_pallas)
+        return generator(params["dec"], cfg, z, g, use_pallas=use_pallas,
+                         use_int8=use_int8)
 
     voc_name = cfg.vocoder
     if voc_name in ("MRF HiFi-GAN", "MRF-HiFi-GAN"):
@@ -576,11 +586,12 @@ def infer_any(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
                              adain_noises, rand_ini)
     sine_noise = jax.random.normal(k_src, (b, t * cfg.upp, 1), z.dtype)
     return generator_nsf(params["dec"], cfg, z, nsff0, g, sine_noise,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, use_int8=use_int8)
 
 
 def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
-          nsff0, sid, z_noise, sine_noise, *, use_pallas: bool = False):
+          nsff0, sid, z_noise, sine_noise, *, use_pallas: bool = False,
+          use_int8: bool = False):
     """Inference path (reference synthesizers.py:446-465).
 
     phone: (B, T, emb_dim); pitch: (B, T) int or None; nsff0: (B, T) Hz;
@@ -594,10 +605,11 @@ def infer(params: Params, cfg: ModelConfig, phone, phone_lengths, pitch,
     z = flow(params["flow"], z_p, x_mask, g, reverse=True)
     if cfg.use_f0:
         o = generator_nsf(params["dec"], cfg, z * x_mask, nsff0, g,
-                          sine_noise, use_pallas=use_pallas)
+                          sine_noise, use_pallas=use_pallas,
+                          use_int8=use_int8)
     else:
         o = generator(params["dec"], cfg, z * x_mask, g,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, use_int8=use_int8)
     return o, x_mask, (z, z_p, m_p, logs_p)
 
 

@@ -12,10 +12,19 @@ probe as an opt-in inference path:
     requant multiply back to the compute dtype
 
 Enable with RVC_TPU_INT8=1 (bf16 fast mode only; the fp32 parity path
-never quantizes).  Quality: a random-weights decode stays within a few
-percent relative error of bf16 (tests/test_int8_decode.py); certifying
-real-checkpoint audio quality additionally needs the bf16 mel-distance
-gate run on real weights (docs/real_weights_checklist.md #10).
+never quantizes).  The flag only takes effect where an inference entry
+point threads use_int8=True (ConvertPipeline) — the rounding/clip ops
+have ZERO gradient, so this path must never run inside a train forward.
+Quality: a random-weights decode stays within a few percent relative
+error of bf16 (tests/test_int8_decode.py); certifying real-checkpoint
+audio quality additionally needs the bf16 mel-distance gate run on real
+weights (docs/real_weights_checklist.md #10).
+
+Measured e2e (docs/perf_notes.md): currently a 7% REGRESSION at B=128 —
+the dynamic quant adds three elementwise HBM passes per conv (weight
+quant also reruns per call, since pipeline weights are jit arguments,
+not constants).  Kept as the starting point for a calibrated-scale /
+fused-requant variant once real weights exist.
 """
 
 from __future__ import annotations
@@ -45,9 +54,10 @@ def quantize_weight(w):
 def conv1d_w8a8(x, w, b=None, *, dilation: int = 1, padding: int = 0):
     """Drop-in for ops.nn.conv1d on NTC activations with W8A8 quant.
 
-    x: (B, T, Cin) bf16/f32; w: (K, Cin, Cout) float (quantized here —
-    cheap next to the conv itself, and XLA folds it when w is a
-    compile-time constant).  Returns x.dtype.
+    x: (B, T, Cin) bf16/f32; w: (K, Cin, Cout) float.  The weight is
+    quantized here per call (pipeline weights are jit ARGUMENTS, so XLA
+    cannot fold this; pre-quantizing at pipeline init is the known
+    improvement if this path ever wins e2e).  Returns x.dtype.
     """
     out_dtype = x.dtype
     w_q, w_scale = quantize_weight(w)

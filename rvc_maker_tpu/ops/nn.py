@@ -18,6 +18,15 @@ import jax.numpy as jnp
 
 LRELU_SLOPE = 0.1  # reference: main/library/algorithm/residuals.py:14
 
+def cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree to dtype (ints/bools untouched) —
+    the one shared mixed-precision cast (train bf16 policy, inference
+    compute_dtype prep)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
 
 def leaky_relu(x, slope=LRELU_SLOPE):
     return jnp.where(x >= 0, x, x * slope)

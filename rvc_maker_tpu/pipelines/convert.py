@@ -109,9 +109,13 @@ class ConvertPipeline:
         # fused Pallas resblocks in the NSF decode (auto: on for TPU;
         # RVC_TPU_PALLAS overrides — see synthesizer.use_pallas_default)
         from ..models.synthesizer import use_pallas_default
+        from ..ops.int8_conv import int8_enabled
 
         self.use_pallas = (use_pallas_default() if use_pallas is None
                            else bool(use_pallas))
+        # W8A8 decode is INFERENCE-ONLY (zero-gradient rounding): the
+        # pipeline is the sole place the flag activates
+        self.use_int8 = int8_enabled(compute_dtype)
         if mesh is not None:
             # pallas_call needs explicit partitioning rules under pjit;
             # the mesh path stays on the XLA convs (single-chip keeps
@@ -124,10 +128,9 @@ class ConvertPipeline:
             if hasattr(tree, "graph"):
                 return tree  # OnnxVoiceModel / OnnxEmbedder: ONNX graph
             if compute_dtype is not None:
-                tree = jax.tree_util.tree_map(
-                    lambda a: a.astype(compute_dtype)
-                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
-                    tree)
+                from ..ops.nn import cast_floats
+
+                tree = cast_floats(tree, compute_dtype)
             # device_put once: params passed as numpy would otherwise be
             # re-uploaded host->device on EVERY call (catastrophic through
             # a tunneled backend — observed 9 s/call for RMVPE's ~300 MB)
@@ -328,7 +331,8 @@ class ConvertPipeline:
                                         frame_lengths,
                                         pitch if cfg.use_f0 else None,
                                         pitchf, sid, rng,
-                                        use_pallas=self.use_pallas)
+                                        use_pallas=self.use_pallas,
+                                        use_int8=self.use_int8)
                     return wav[:, :, 0].astype(jnp.float32), pitchf
                 k1, k2 = jax.random.split(rng)
                 z_noise = jax.random.normal(k1, (b, p_len, cfg.inter_channels),
@@ -338,7 +342,8 @@ class ConvertPipeline:
                 wav, _, _ = syn.infer(synth_params, cfg, feats, frame_lengths,
                                       pitch if cfg.use_f0 else None, pitchf,
                                       sid, z_noise, sine_noise,
-                                      use_pallas=self.use_pallas)
+                                      use_pallas=self.use_pallas,
+                                      use_int8=self.use_int8)
                 return wav[:, :, 0].astype(jnp.float32), pitchf
 
             self._step_cache[key] = synth_fn

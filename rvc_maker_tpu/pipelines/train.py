@@ -35,6 +35,7 @@ import optax
 from ..config import RVCConfig
 from ..models import discriminator as disc
 from ..models import synthesizer as syn
+from ..ops.nn import cast_floats as _cast_floats
 from ..ops.nn import slice_segments
 from ..ops.stft import mel_spectrogram, spec_to_mel
 
@@ -93,13 +94,6 @@ class Batch:
     spec_lengths: Any   # (B,)
     wave: Any           # (B, T_spec * hop, 1)
     sid: Any            # (B,)
-
-
-def _cast_floats(tree, dtype):
-    """Cast floating leaves to dtype (ints/bools untouched)."""
-    return jax.tree_util.tree_map(
-        lambda a: a.astype(dtype)
-        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
 
 
 def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,

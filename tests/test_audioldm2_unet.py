@@ -38,10 +38,16 @@ def _t(rs, *shape):
     return torch.from_numpy((rs.randn(*shape) * 0.08).astype(np.float32))
 
 
-def make_unet_sd(rs, *, linear_proj_slots=(1,)):
+def make_unet_sd(rs, *, linear_proj_slots=(1,), attn_down=None,
+                 attn_up=None):
     """Synthetic state dict in the diffusers AudioLDM2 UNet key layout.
     Slots in linear_proj_slots use nn.Linear proj_in/out (the
-    use_linear_projection variant); others use 1x1 Conv2d."""
+    use_linear_projection variant); others use 1x1 Conv2d.
+    attn_down/attn_up: per-block booleans — False emits an
+    attention-less DownBlock2D/UpBlock2D (the real audioldm2 layout ends
+    its down stack with one and starts its up stack with one)."""
+    attn_down = (True,) * len(CH) if attn_down is None else attn_down
+    attn_up = (True,) * len(CH) if attn_up is None else attn_up
     sd = {}
 
     def lin(prefix, cin, cout, bias=True):
@@ -103,7 +109,8 @@ def make_unet_sd(rs, *, linear_proj_slots=(1,)):
         for j in range(LAYERS):
             resnet(f"down_blocks.{i}.resnets.{j}",
                    cin if j == 0 else cout, cout)
-            slots(f"down_blocks.{i}.attentions", cout, j * len(CROSS))
+            if attn_down[i]:
+                slots(f"down_blocks.{i}.attentions", cout, j * len(CROSS))
             skip_widths.append(cout)
         if i < len(CH) - 1:
             conv(f"down_blocks.{i}.downsamplers.0.conv", cout, cout, 3)
@@ -120,7 +127,8 @@ def make_unet_sd(rs, *, linear_proj_slots=(1,)):
         for j in range(LAYERS + 1):
             resnet(f"up_blocks.{i}.resnets.{j}",
                    cur + skip_widths.pop(), cout)
-            slots(f"up_blocks.{i}.attentions", cout, j * len(CROSS))
+            if attn_up[i]:
+                slots(f"up_blocks.{i}.attentions", cout, j * len(CROSS))
             cur = cout
         if i < len(rev) - 1:
             conv(f"up_blocks.{i}.upsamplers.0.conv", cout, cout, 3)
@@ -155,6 +163,31 @@ def test_every_key_consumed_and_config_inferred(imported):
     out = am.unet_forward(params, cfg, x, t, eh0, eh1)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_less_blocks_import_and_run():
+    """The real audioldm2 layout ends the down stack with a DownBlock2D
+    and starts the up stack with an UpBlock2D (no attentions); the
+    importer and forward must handle those blocks."""
+    rs = np.random.RandomState(9)
+    sd = make_unet_sd(rs, attn_down=(True, False), attn_up=(False, True))
+    params, cfg = am.unet_params_from_state_dict(sd, head_dim=4,
+                                                 norm_groups=GROUPS)
+    assert "attn" not in params["down"][1]
+    assert "attn" not in params["up"][0]
+    assert cfg.slot_dims == CROSS
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 8, 4, IN_CH),
+                    jnp.float32)
+    eh0 = jnp.asarray(np.random.RandomState(2).randn(1, 5, 12), jnp.float32)
+    eh1 = jnp.asarray(np.random.RandomState(3).randn(1, 7, 20), jnp.float32)
+    out = am.unet_forward(params, cfg, x, jnp.asarray([50], jnp.int32),
+                          eh0, eh1)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # streams still reach the output through the attention-carrying blocks
+    d0 = am.unet_forward(params, cfg, x, jnp.asarray([50], jnp.int32),
+                         eh0 + 1.0, eh1) - out
+    assert float(jnp.abs(d0).max()) > 1e-6
 
 
 def test_extra_key_raises(imported):

@@ -37,6 +37,22 @@ def test_int8_gate_respects_dtype_and_env(monkeypatch):
     monkeypatch.setenv("RVC_TPU_INT8", "1")
     assert int8_enabled(jnp.bfloat16)
     assert not int8_enabled(jnp.float32)  # parity mode never quantizes
+    assert not int8_enabled(None)         # no compute_dtype -> fp32 path
+
+
+def test_int8_never_reaches_training(monkeypatch):
+    """The train forward must NOT quantize even with the env flag set in
+    bf16 training — rounding has zero gradient and would silently stop
+    the decode convs from learning (train paths never pass use_int8)."""
+    import inspect
+
+    from rvc_maker_tpu.pipelines import train as train_mod
+
+    src = inspect.getsource(train_mod)
+    assert "use_int8" not in src
+    # and the model-side default is off
+    sig = inspect.signature(syn.generator_nsf)
+    assert sig.parameters["use_int8"].default is False
 
 
 def test_int8_decode_quality_gate(monkeypatch):
@@ -58,13 +74,16 @@ def test_int8_decode_quality_gate(monkeypatch):
         out = syn.generator_nsf(bf, CFG, jnp.asarray(z, jnp.bfloat16),
                                 jnp.asarray(f0),
                                 jnp.asarray(g, jnp.bfloat16),
-                                jnp.asarray(noise, jnp.bfloat16))
+                                jnp.asarray(noise, jnp.bfloat16),
+                                use_int8=True)
         return np.asarray(out, np.float32)
 
+    # use_int8=True alone must NOT quantize without the env opt-in
     monkeypatch.delenv("RVC_TPU_INT8", raising=False)
     ref = decode()
     monkeypatch.setenv("RVC_TPU_INT8", "1")
     got = decode()
+    assert np.abs(got - ref).max() > 0  # int8 actually engaged
 
     assert got.shape == ref.shape
     assert np.isfinite(got).all()
