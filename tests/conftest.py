@@ -79,6 +79,7 @@ _SLOW_TESTS = {
     "test_hubert_parity.py::test_padded_batch_matches_unpadded",
     "test_hubert_transformers.py::test_transformers_import_forward_parity",
     "test_int8_decode.py::test_int8_decode_quality_gate",
+    "test_int8_decode.py::test_pipeline_threads_int8",
     "test_interop_roundtrip.py::test_export_import_roundtrip",
     "test_interop_roundtrip.py::test_reference_loads_our_export",
     "test_mesh_convert.py::test_mesh_convert_matches_single_device",

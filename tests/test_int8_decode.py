@@ -92,3 +92,44 @@ def test_int8_decode_quality_gate(monkeypatch):
     rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
     assert corr > 0.98, corr
     assert rel < 0.2, rel
+
+
+def test_pipeline_threads_int8(monkeypatch):
+    """ConvertPipeline must engage int8 end-to-end when the env flag is
+    set in bf16 mode (use_int8 threading), and never in fp32 mode."""
+    from rvc_maker_tpu.models import hubert as hubert_mod
+    from rvc_maker_tpu.pipelines.convert import (ConvertPipeline,
+                                                 ConvertSettings)
+
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, text_enc_hidden_dim=768)  # hubert v2
+    synth_params = syn.init_params(jax.random.PRNGKey(0), cfg)
+    hubert_params = hubert_mod.init_params(jax.random.PRNGKey(1), n_layers=2)
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    lengths = np.asarray([16000])
+    settings = ConvertSettings(f0_method="yin", index_rate=0.0,
+                               deterministic=True)
+
+    monkeypatch.delenv("RVC_TPU_INT8", raising=False)
+    plain = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
+                            compute_dtype=jnp.bfloat16)
+    assert plain.use_int8 is False
+    w_plain, _ = plain.convert_batch(audio, lengths, 0, settings)
+
+    monkeypatch.setenv("RVC_TPU_INT8", "1")
+    quant = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
+                            compute_dtype=jnp.bfloat16)
+    assert quant.use_int8 is True
+    w_quant, _ = quant.convert_batch(audio, lengths, 0, settings)
+
+    a, b = np.asarray(w_plain[0]), np.asarray(w_quant[0])
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0          # int8 really ran
+    denom = np.linalg.norm(a) * np.linalg.norm(b) + 1e-9
+    assert float(np.dot(a, b) / denom) > 0.98
+
+    # fp32 pipeline ignores the env flag entirely
+    fp32 = ConvertPipeline(synth_params, cfg, hubert_params, version="v2")
+    assert fp32.use_int8 is False
