@@ -23,6 +23,8 @@ import numpy as np
 
 from ..utils.audio import load_audio, read_wav, resample, save_wav
 
+from ..utils.i18n import tr
+
 logger = logging.getLogger(__name__)
 
 
@@ -104,6 +106,6 @@ def create_dataset(inputs: Sequence[str], output_dataset: str, *,
         shutil.move(p, dst)
         final_paths.append(dst)
     shutil.rmtree(workdir, ignore_errors=True)
-    logger.info("created dataset with %d files in %s", len(final_paths),
+    logger.info(tr("createdataset") + ": %d files in %s", len(final_paths),
                 output_dataset)
     return final_paths

@@ -31,6 +31,8 @@ from ..models import hubert as hubert_mod
 from ..models import rmvpe as rmvpe_mod
 from ..utils.audio import load_audio, save_wav
 
+from ..utils.i18n import tr
+
 logger = logging.getLogger(__name__)
 
 SR16K = 16000
@@ -183,7 +185,7 @@ def extract_f0(exp_dir: str, *, method: str = "rmvpe", rmvpe_params=None,
                 np.save(os.path.join(f0v_dir, n + ".npy"), f0[i, :p_len],
                         allow_pickle=False)
                 done += 1
-    logger.info("extracted f0 for %d segments", done)
+    logger.info(tr("extract_done") + " [f0: %d segments]", done)
     return done
 
 
@@ -226,7 +228,7 @@ def extract_embeddings(exp_dir: str, hubert_params, *, version: str = "v2",
                 np.save(os.path.join(out_dir, n.replace(".wav", ".npy")),
                         out, allow_pickle=False)
                 done += 1
-    logger.info("extracted embeddings for %d segments", done)
+    logger.info(tr("extract_success") + " [%d segments]", done)
     return done
 
 

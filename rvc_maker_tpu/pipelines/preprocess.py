@@ -25,6 +25,8 @@ from scipy import signal as sp_signal
 
 from ..utils.audio import load_audio, resample, save_wav
 
+from ..utils.i18n import tr
+
 logger = logging.getLogger(__name__)
 
 SAMPLE_RATE_16K = 16000
@@ -216,8 +218,9 @@ def preprocess_dataset(input_root: str, exp_dir: str, sr: int,
             futures = [ex.submit(_process_one, a) for a in files]
             for fut in as_completed(futures):
                 total += fut.result()
-    logger.info("preprocessed %d files -> %d segments in %.1fs",
-                len(files), total, time.time() - t0)
+    logger.info(tr("preprocess_success",
+                   elapsed_time=f"{time.time() - t0:.1f}")
+                + f" [{len(files)} files -> {total} segments]")
     return total
 
 

@@ -23,6 +23,8 @@ import numpy as np
 
 from ..utils.audio import read_wav, resample, save_audio
 
+from ..utils.i18n import tr
+
 logger = logging.getLogger(__name__)
 
 DEMUCS_MODELS = {"HT-Tuned": "htdemucs_ft.yaml", "HT-Normal": "htdemucs.yaml",
@@ -158,7 +160,8 @@ def separate_music(input_path: str, output_dir: str,
         return out
 
     main_model = _resolve_model(s.model_name, s)
-    logger.info("separating with %s", os.path.basename(main_model))
+    logger.info(tr("separator_process_2") + " [%s]",
+                os.path.basename(main_model))
     vocals, instruments = _separate_once(stereo, sr, main_model, s)
     _write("Original_Vocals", vocals)
     _write("Instruments", instruments)

@@ -28,6 +28,8 @@ from ..parallel import distributed as dist_mod
 from . import data as data_mod
 from . import train as train_mod
 
+from ..utils.i18n import tr
+
 logger = logging.getLogger(__name__)
 
 
@@ -202,7 +204,8 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     if os.path.isdir(latest):
         state = load_checkpoint(latest, state)
         start_epoch = int(np.asarray(state.step)) // max(len(dataset) // max(batch_size, 1), 1) + 1
-        logger.info("resumed from %s at step %d", latest, int(np.asarray(state.step)))
+        logger.info(tr("save_checkpoint", checkpoint_path=latest,
+                       checkpoint_dict=int(np.asarray(state.step))))
     state = replicate(state, mesh)
 
     step_fn = train_mod.make_sharded_train_step(
