@@ -55,9 +55,9 @@ def _looks_plain(data: bytes) -> bool:
         return True
     if data[:1] == b"\x80":                     # bare pickle protocol 2+
         return True
-    if data[:2] in (b"\x08\x01", b"\x08\x02", b"\x08\x03", b"\x08\x04",
-                    b"\x08\x05", b"\x08\x06", b"\x08\x07", b"\x08\x08",
-                    b"\x08\x09", b"\x08\x0a"):  # ONNX pb: ir_version varint
+    # ONNX pb: field 1 (ir_version) varint — accept any single-byte varint
+    # value (ir_version 1-127 covers all released and future versions)
+    if data[:1] == b"\x08" and len(data) > 1 and data[1] < 0x80:
         return True
     return False
 
@@ -70,6 +70,17 @@ def maybe_decrypt(data: bytes, key: bytes = REFERENCE_MODEL_KEY) -> bytes:
         plain = decrypt_model_bytes(data, key)
     except ValueError:
         return data
-    # Only accept the decryption if it produced a recognisable container;
-    # otherwise this was some other binary format — hand it back untouched.
-    return plain if _looks_plain(plain) else data
+    if not _looks_plain(plain):
+        # Structurally valid PKCS7 but unrecognisable plaintext: either a
+        # false-positive decrypt of some other binary format, or a container
+        # this sniffer doesn't know.  Hand back the original, but say so —
+        # a silent pass-through defers failure to an opaque parse error.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "maybe_decrypt: decryption succeeded structurally but the "
+            "plaintext is not a recognisable model container "
+            "(first bytes %r); returning the file undecrypted",
+            plain[:4])
+        return data
+    return plain

@@ -713,6 +713,21 @@ def unet_params_from_state_dict(sd, *, head_dim: int | None = 8,
     for slot in first:
         kd = slot["blocks"][0]["attn2"]["k"]["w"].shape[0]
         cross_dims.append(None if kd == inner else int(kd))
+    # Every other attention-carrying layer must route the same kv widths
+    # slot-for-slot: a checkpoint with non-uniform cross_attention_dim
+    # would otherwise import with silently wrong stream routing.
+    for li, layer in enumerate(attn_layers[1:], start=1):
+        layer_inner = layer[0]["proj_in"]["w"].shape[0]
+        for si, slot in enumerate(layer):
+            kd = int(slot["blocks"][0]["attn2"]["k"]["w"].shape[0])
+            want = cross_dims[si]
+            got = None if kd == layer_inner else kd
+            if got != want:
+                raise ValueError(
+                    f"attention layer {li} slot {si} kv width {got} != "
+                    f"{want} inferred from the first layer — non-uniform "
+                    "cross_attention_dim is not supported by the slot "
+                    "routing")
     cfg = UNetConfig(
         in_channels=p["conv_in"]["w"].shape[2],
         block_out_channels=widths,

@@ -106,6 +106,6 @@ def create_dataset(inputs: Sequence[str], output_dataset: str, *,
         shutil.move(p, dst)
         final_paths.append(dst)
     shutil.rmtree(workdir, ignore_errors=True)
-    logger.info(tr("createdataset") + ": %d files in %s", len(final_paths),
+    logger.info("%s: %d files in %s", tr("createdataset"), len(final_paths),
                 output_dataset)
     return final_paths

@@ -185,7 +185,7 @@ def extract_f0(exp_dir: str, *, method: str = "rmvpe", rmvpe_params=None,
                 np.save(os.path.join(f0v_dir, n + ".npy"), f0[i, :p_len],
                         allow_pickle=False)
                 done += 1
-    logger.info(tr("extract_done") + " [f0: %d segments]", done)
+    logger.info("%s [f0: %d segments]", tr("extract_done"), done)
     return done
 
 
@@ -228,7 +228,7 @@ def extract_embeddings(exp_dir: str, hubert_params, *, version: str = "v2",
                 np.save(os.path.join(out_dir, n.replace(".wav", ".npy")),
                         out, allow_pickle=False)
                 done += 1
-    logger.info(tr("extract_success") + " [%d segments]", done)
+    logger.info("%s [%d segments]", tr("extract_success"), done)
     return done
 
 

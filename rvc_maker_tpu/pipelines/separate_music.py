@@ -160,7 +160,7 @@ def separate_music(input_path: str, output_dir: str,
         return out
 
     main_model = _resolve_model(s.model_name, s)
-    logger.info(tr("separator_process_2") + " [%s]",
+    logger.info("%s [%s]", tr("separator_process_2"),
                 os.path.basename(main_model))
     vocals, instruments = _separate_once(stereo, sr, main_model, s)
     _write("Original_Vocals", vocals)

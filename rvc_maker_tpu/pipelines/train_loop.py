@@ -205,7 +205,7 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         state = load_checkpoint(latest, state)
         start_epoch = int(np.asarray(state.step)) // max(len(dataset) // max(batch_size, 1), 1) + 1
         logger.info(tr("save_checkpoint", checkpoint_path=latest,
-                       checkpoint_dict=int(np.asarray(state.step))))
+                       checkpoint_dict=start_epoch - 1))
     state = replicate(state, mesh)
 
     step_fn = train_mod.make_sharded_train_step(
