@@ -61,7 +61,8 @@ def cmd_extract(args):
         hubert_params = hubert_mod.load_fairseq_pt(args.embedder_path)
     else:
         import jax
-        logging.warning("no --embedder-path: using random HuBERT weights")
+        from .utils.i18n import tr as _tr
+        logging.warning(_tr("random_hubert"))
         hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
 
     rmvpe_params = None
@@ -71,7 +72,9 @@ def cmd_extract(args):
             from .models.rmvpe import load_rmvpe_pt
             rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
         else:
-            logging.warning("no --rmvpe-path: falling back to yin f0")
+            from .utils.i18n import tr as _tr
+
+            logging.warning(_tr("fallback_yin"))
             method = "yin"
     crepe_params = None
     if "crepe" in method and args.crepe_path:
@@ -85,8 +88,7 @@ def cmd_extract(args):
     if "fcpe" in method and args.fcpe_path:
         from .models.fcpe import load_fcpe_ckpt
 
-        fcpe_params = load_fcpe_ckpt(args.fcpe_path,
-                                     legacy="legacy" in method)
+        fcpe_params, _legacy = load_fcpe_ckpt(args.fcpe_path)
     ex.extract_f0(args.exp_dir, method=method, rmvpe_params=rmvpe_params,
                   crepe_params=crepe_params, fcpe_params=fcpe_params,
                   hop_length=args.hop_length)
@@ -147,8 +149,9 @@ def cmd_train(args):
             args.pretrain_g, args.pretrain_d = bootstrap.ensure_pretrained(
                 args.version, args.sample_rate, args.vocoder)
         except Exception as e:  # noqa: BLE001
-            logging.warning("pretrained bootstrap failed (%s); "
-                            "training from scratch", e)
+            from .utils.i18n import tr as _tr
+
+            logging.warning(_tr("pretrained_failed", e=e))
     train(args.exp_dir, cfg, total_epochs=args.epochs,
           batch_size=args.batch_size, save_every_epoch=args.save_every_epoch,
           save_only_latest=not args.save_all, pretrain_g=args.pretrain_g,
@@ -182,7 +185,9 @@ def _build_convert_pipeline(args):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — degrade, don't die
-            logging.warning("bootstrap %s failed: %s", kind, e)
+            from .utils.i18n import tr as _tr
+
+            logging.warning(_tr("bootstrap_failed", kind=kind, e=e))
             return None
 
     if args.embedder_path:
@@ -199,8 +204,9 @@ def _build_convert_pipeline(args):
             hubert_params = load_embedder(fetched)
         else:
             import jax
-            logging.warning(
-                "no --embedder-path: random HuBERT weights (debug only)")
+            from .utils.i18n import tr as _tr
+
+            logging.warning(_tr("random_hubert"))
             hubert_params = hubert_mod.init_params(jax.random.PRNGKey(0))
     rmvpe_params = None
     method = args.f0_method
@@ -230,7 +236,9 @@ def _build_convert_pipeline(args):
             from .models.rmvpe import load_rmvpe_pt
             rmvpe_params = load_rmvpe_pt(args.rmvpe_path)
     elif method == "rmvpe":
-        logging.warning("no --rmvpe-path: falling back to yin f0")
+        from .utils.i18n import tr as _tr
+
+        logging.warning(_tr("fallback_yin"))
         method = "yin"
     fcpe_params = None
     if "fcpe" in method and not args.fcpe_path:
@@ -246,8 +254,7 @@ def _build_convert_pipeline(args):
             fcpe_params = OnnxGraph(args.fcpe_path)
         else:
             from .models.fcpe import load_fcpe_ckpt
-            fcpe_params = load_fcpe_ckpt(args.fcpe_path,
-                                         legacy="legacy" in method)
+            fcpe_params, _legacy = load_fcpe_ckpt(args.fcpe_path)
     crepe_params = None
     if "crepe" in method and not args.crepe_path:
         got = _maybe_bootstrap(
@@ -461,7 +468,8 @@ def cmd_transcribe(args):
         json.dump(out, f, indent=2, ensure_ascii=False)
     from .utils.i18n import tr
 
-    print(tr("whisper_done") + f" {len(out)} segments -> {args.output}")
+    print(tr("whisper_done") + " "
+          + tr("segments_to", n=len(out), path=args.output))
 
 
 def cmd_effects(args):
