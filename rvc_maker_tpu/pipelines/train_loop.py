@@ -33,6 +33,17 @@ from ..utils.i18n import tr
 logger = logging.getLogger(__name__)
 
 
+def state_params_hash(state: train_mod.TrainState) -> str:
+    """sha256 over params_g leaves in deterministic (flatten) order —
+    used to certify byte-exact checkpoint restore across processes."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params_g)):
+        h.update(np.ascontiguousarray(leaf).tobytes())
+    return h.hexdigest()
+
+
 def save_checkpoint(state: train_mod.TrainState, path: str) -> None:
     import orbax.checkpoint as ocp
 
@@ -206,6 +217,13 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         start_epoch = int(np.asarray(state.step)) // max(len(dataset) // max(batch_size, 1), 1) + 1
         logger.info(tr("save_checkpoint", checkpoint_path=latest,
                        checkpoint_dict=start_epoch - 1))
+        if os.environ.get("RVC_TPU_RESUME_HASH"):
+            # ops evidence that the restored in-process state is bit-
+            # identical to the on-disk checkpoint (tools/e2e_train_tpu.py
+            # computes the same digest out-of-process and compares)
+            logger.info("resume params_g sha256=%s step=%d",
+                        state_params_hash(state),
+                        int(np.asarray(state.step)))
     state = replicate(state, mesh)
 
     step_fn = train_mod.make_sharded_train_step(
@@ -217,7 +235,7 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     stop = {"now": False}
 
     def _sigterm(signum, frame):
-        logger.warning("SIGTERM — saving checkpoint before exit")
+        logger.warning(tr("sigterm_save"))
         stop["now"] = True
 
     old_handler = signal.signal(signal.SIGTERM, _sigterm)
@@ -249,10 +267,10 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
             overtrained = (overtraining_detector and epoch > 1
                            and detector.update(loss_g, loss_d))
             if overtrained:
-                logger.warning(
-                    "overtraining detected at epoch %d (smoothed G %.3f, "
-                    "smoothed D %.3f)", epoch,
-                    detector.smoothed_gen[-1], detector.smoothed_disc[-1])
+                logger.warning(tr(
+                    "overtraining_find", epoch=epoch,
+                    smoothed_value_gen=f"{detector.smoothed_gen[-1]:.3f}",
+                    smoothed_value_disc=f"{detector.smoothed_disc[-1]:.3f}"))
                 stop["now"] = True    # reference done=True: save and stop
             if (overtraining_detector and primary
                     and epoch % save_every_epoch == 0):
