@@ -24,6 +24,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from ..utils.i18n import tr
+
 logger = logging.getLogger(__name__)
 
 _STATE: dict = {"pipeline": None, "pipeline_key": None}
@@ -530,7 +532,7 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"language": current_language(),
                         "strings": catalog()})
         else:
-            self._json({"error": "not found"}, 404)
+            self._json({"error": tr("not_found", name=self.path)}, 404)
 
     def do_POST(self):
         try:
@@ -550,7 +552,8 @@ class Handler(BaseHTTPRequestHandler):
                 with _JOBS_LOCK:
                     job = _JOBS.get(req.get("job_id"))
                 if job is None:
-                    self._json({"error": "unknown job"}, 404)
+                    self._json({"error": tr("not_found",
+                                            name=req.get("job_id"))}, 404)
                 else:
                     self._json({"done": job["done"], "error": job["error"],
                                 "log": "\n".join(job["log"][-40:])})
@@ -590,7 +593,7 @@ class Handler(BaseHTTPRequestHandler):
             elif self.path == "/api/report_bug":
                 self._json(_report_bug(req["webhook"], req["text"]))
             else:
-                self._json({"error": "unknown endpoint"}, 404)
+                self._json({"error": tr("not_found", name=self.path)}, 404)
         except Exception as e:  # surface errors to the UI
             logger.exception("request failed")
             self._json({"error": str(e)}, 500)
@@ -849,7 +852,7 @@ def _save_settings() -> None:
         with open(_SETTINGS_PATH, "w", encoding="utf-8") as f:
             json.dump(_SETTINGS, f, indent=2)
     except OSError:
-        logger.warning("could not persist settings to %s", _SETTINGS_PATH)
+        logger.warning("%s", tr("settings_persist_failed", path=_SETTINGS_PATH))
 
 
 def _build_uncached_pipeline(model: str, index: str, rmvpe: str,
@@ -1012,7 +1015,7 @@ _start_job._counter = __import__("itertools").count()
 
 def serve(host: str = "0.0.0.0", port: int = 7865):
     httpd = ThreadingHTTPServer((host, port), Handler)
-    logger.info("serving on http://%s:%d", host, port)
+    logger.info("%s", tr("serving_on", url=f"http://{host}:{port}"))
     httpd.serve_forever()
 
 

@@ -630,8 +630,21 @@ class ConvertPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             bsh = NamedSharding(self.mesh, P("data"))
-            audio = jax.device_put(audio, bsh)
-            lengths_d = jax.device_put(lengths_d, bsh)
+            if jax.process_count() > 1:
+                # multi-controller mesh: every process passes the SAME
+                # global batch; each contributes its row-slice to the
+                # global jax.Array (mirrors data.batches_for_epoch +
+                # distributed.shard_host_local on the train side)
+                rank, world = jax.process_index(), jax.process_count()
+                assert b % world == 0, (b, world)
+                rows = slice(rank * (b // world), (rank + 1) * (b // world))
+                audio = jax.make_array_from_process_local_data(
+                    bsh, np.asarray(audio, np.float32)[rows])
+                lengths_d = jax.make_array_from_process_local_data(
+                    bsh, np.asarray(lengths_d, np.int32)[rows])
+            else:
+                audio = jax.device_put(audio, bsh)
+                lengths_d = jax.device_put(lengths_d, bsh)
         dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
                                 jnp.float32)
 

@@ -223,7 +223,7 @@ def extract_embeddings(exp_dir: str, hubert_params, *, version: str = "v2",
             for i, n in enumerate(chunk):
                 out = feats[i, : fl[i]]
                 if np.isnan(out).any():
-                    logger.warning("NaN features in %s — skipped", n)
+                    logger.warning("%s %s", n, tr("NaN"))
                     continue
                 np.save(os.path.join(out_dir, n.replace(".wav", ".npy")),
                         out, allow_pickle=False)

@@ -169,14 +169,14 @@ def separate_music(input_path: str, output_dir: str,
     main_vocals = vocals
     if s.backing:
         kara = _resolve_model(s.kara_model, s)
-        logger.info("karaoke split with %s", os.path.basename(kara))
+        logger.info("%s", tr("karaoke_split", model=os.path.basename(kara)))
         main_vocals, backing_vocals = _separate_once(vocals, sr, kara, s)
         _write("Main_Vocals", main_vocals)
         _write("Backing_Vocals", backing_vocals)
 
     if s.reverb:
         reverb_model = _resolve_model(s.reverb_model, s)
-        logger.info("dereverb with %s", os.path.basename(reverb_model))
+        logger.info("%s [%s]", tr("dereverb"), os.path.basename(reverb_model))
         _, dry = _separate_once(vocals, sr, reverb_model, s)
         _write("Original_Vocals_No_Reverb", dry)
         if s.backing:

@@ -266,7 +266,9 @@ def merge_artifacts(y_mask: np.ndarray, thres: float = 0.01,
         y_mask = y_mask + weight * v_mask
         mask = y_mask
     except Exception as exc:  # reference swallows all errors here
-        logger.warning("merge_artifacts failed: %s", exc)
+        from ..utils.i18n import tr
+
+        logger.warning("%s", tr("merge_artifacts_failed", e=exc))
     return mask
 
 
@@ -600,8 +602,10 @@ def spec_effects(wave, algorithm: str = "Default", value=None):
     """Two-source spectral combine (spec_utils.py:362-373)."""
     wave = [np.asarray(wave[0]), np.asarray(wave[1])]
     if any(np.isnan(w).any() or np.isinf(w).any() for w in wave):
-        logger.warning("non-finite values in spec_effects input: %s",
-                       [w.shape for w in wave])
+        from ..utils.i18n import tr
+
+        logger.warning("%s", tr("spec_nonfinite",
+                                shapes=[w.shape for w in wave]))
     spec = [stft(wave[0], 2048, 1024), stft(wave[1], 2048, 1024)]
     if algorithm == "Min_Mag":
         return istft(np.where(np.abs(spec[1]) <= np.abs(spec[0]), spec[1],

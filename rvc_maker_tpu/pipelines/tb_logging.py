@@ -50,7 +50,9 @@ class TensorBoardLogger:
 
             self.writer: Optional[Any] = SummaryWriter(log_dir=log_dir)
         except Exception as e:  # pragma: no cover
-            logger.warning("tensorboard unavailable (%s); logging disabled", e)
+            from ..utils.i18n import tr
+
+            logger.warning("%s", tr("tensorboard_unavailable", e=e))
             self.writer = None
 
     def scalars(self, step: int, values: dict) -> None:

@@ -225,6 +225,12 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
                                lr=state.lr)
         return new_state, metrics
 
+    # expose the building blocks for stage-level profiling
+    # (bench_train.py BENCH_TRAIN_STAGED=1) without changing the fused
+    # step's structure
+    train_step.parts = dict(forward_g=forward_g, d_loss_fn=d_loss_fn,
+                            g_loss_fn=g_loss_fn, opt=opt,
+                            seg_frames=seg_frames)
     return train_step
 
 
