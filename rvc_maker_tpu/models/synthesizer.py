@@ -336,17 +336,20 @@ def _resblock(p: Params, x, *, kernel_size: int, dilations,
               use_int8: bool = False):
     # use_int8 (threaded from the INFERENCE entry points only — int8's
     # round/clip has zero gradient, so it must never reach a train
-    # forward) + RVC_TPU_INT8=1 + bf16: W8A8 resblock convs on the MXU
-    # int8 path (measured per-conv 1.27-1.40x at C>=256 but e2e negative
-    # so far, docs/perf_notes.md); C>=64 keeps lane-starved stages on
-    # the space-to-depth fold.
-    from ..ops.int8_conv import conv1d_w8a8, int8_enabled
+    # forward; bool or ops.int8_conv.Int8Ctx) + RVC_TPU_INT8=1 + bf16:
+    # W8A8 resblock convs on the MXU int8 path.  Per-conv 1.27-1.40x at
+    # C>=256; e2e needs the prequantized-weight + calibrated-scale ctx
+    # (docs/perf_notes.md).  C>=64 keeps lane-starved stages on the
+    # space-to-depth fold.
+    from ..ops.int8_conv import as_ctx, int8_enabled
 
-    use_int8 = use_int8 and int8_enabled(x.dtype) and x.shape[-1] >= 64
+    ctx = as_ctx(use_int8)
+    active = (ctx is not None and int8_enabled(x.dtype)
+              and x.shape[-1] >= 64)
 
     def cv(y, c, d, pad):
-        if use_int8:
-            return conv1d_w8a8(y, c["w"], c["b"], dilation=d, padding=pad)
+        if active:
+            return ctx.conv(y, c, dilation=d, padding=pad)
         return conv1d(y, c["w"], c["b"], dilation=d, padding=pad)
 
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
@@ -502,6 +505,10 @@ def generator_nsf(p: Params, cfg: ModelConfig, x, f0, g, sine_noise, *,
     use_pallas: run each resblock chain as one fused Pallas kernel
     (ops/pallas_resblock.py) on the stages whose weights fit VMEM —
     inference paths only (no VJP defined)."""
+    from ..ops.int8_conv import Int8Ctx
+
+    if isinstance(use_int8, Int8Ctx):
+        use_int8.reset_sites()   # site order restarts with each decode
     har = source_module(p["source"], f0, sine_noise, upp=cfg.upp,
                         sample_rate=cfg.sr)                     # (B, T*upp, 1)
     # sine phase accumulation is fp32 regardless of compute dtype; cast

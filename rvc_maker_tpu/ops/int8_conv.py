@@ -5,26 +5,29 @@ decode shapes (measured in docs/perf_notes.md "int8 conv probe": 1.40x
 at C=512, 1.27x at C=256, ~1.1x at C=128/64).  This module lands that
 probe as an opt-in inference path:
 
-  * weights: symmetric per-output-channel int8 (scale = amax/127)
-  * activations: symmetric per-tensor DYNAMIC int8 (scale from the
-    tensor's own amax, computed on device inside the jitted program)
+  * weights: symmetric per-output-channel int8 (scale = amax/127),
+    PRE-QUANTIZED once at pipeline construction (prequantize_decode) —
+    pipeline weights are jit arguments, so per-call quantization could
+    never be folded by XLA and cost two extra weight passes per conv
+    (the r3 e2e regression's biggest term)
+  * activations: symmetric per-tensor int8.  Scales come from a
+    CALIBRATION pass (Int8Ctx "calibrate" records each site's amax on a
+    voiced calibration batch inside one jitted run; "static" plays the
+    recorded scales back as baked constants, so the amax reduce — a full
+    extra HBM pass per conv that also blocked producer fusion —
+    disappears from the hot program).  Dynamic per-call scales remain as
+    the fallback mode.
   * conv accumulates in int32 (preferred_element_type), then one fused
     requant multiply back to the compute dtype
 
 Enable with RVC_TPU_INT8=1 (bf16 fast mode only; the fp32 parity path
 never quantizes).  The flag only takes effect where an inference entry
-point threads use_int8=True (ConvertPipeline) — the rounding/clip ops
-have ZERO gradient, so this path must never run inside a train forward.
-Quality: a random-weights decode stays within a few percent relative
+point threads use_int8 (ConvertPipeline) — the rounding/clip ops have
+ZERO gradient, so this path must never run inside a train forward.
+Quality: random-weights decode stays within a few percent relative
 error of bf16 (tests/test_int8_decode.py); certifying real-checkpoint
 audio quality additionally needs the bf16 mel-distance gate run on real
 weights (docs/real_weights_checklist.md #10).
-
-Measured e2e (docs/perf_notes.md): currently a 7% REGRESSION at B=128 —
-the dynamic quant adds three elementwise HBM passes per conv (weight
-quant also reruns per call, since pipeline weights are jit arguments,
-not constants).  Kept as the starting point for a calibrated-scale /
-fused-requant variant once real weights exist.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def int8_enabled(dtype) -> bool:
@@ -51,18 +55,107 @@ def quantize_weight(w):
     return w_q, scale
 
 
-def conv1d_w8a8(x, w, b=None, *, dilation: int = 1, padding: int = 0):
+class Int8Ctx:
+    """Trace-time context threaded through the decode in place of the
+    old use_int8 bool.
+
+    mode "dynamic":   per-call activation amax (r3 baseline)
+    mode "calibrate": like dynamic, but records each site's amax tracer
+                      (`collected`) so a calibration jit can return them
+    mode "static":    site scales from `scales` baked as constants — no
+                      amax pass in the hot program
+
+    Site identity is trace order; `sigs` cross-checks each site's
+    (K, Cin, Cout, dilation) signature between calibration and playback
+    so a divergent trace fails loudly instead of mis-scaling.
+    """
+
+    def __init__(self, mode: str = "dynamic", scales=None, sigs=None):
+        assert mode in ("dynamic", "calibrate", "static"), mode
+        if mode == "static":
+            assert scales is not None
+        self.mode = mode
+        self.scales = scales
+        self.sigs = list(sigs) if sigs is not None else None
+        self.collected: list = []
+        self.collected_sigs: list = []
+        self._i = 0
+
+    def reset_sites(self) -> None:
+        """Called at the top of each decode trace (site order restarts)."""
+        self._i = 0
+
+    def conv(self, x, c, *, dilation: int, padding: int):
+        sig = (int(c["w"].shape[0]), int(c["w"].shape[1]),
+               int(c["w"].shape[2]), int(dilation))
+        i = self._i
+        self._i += 1
+        if self.mode == "static":
+            if self.sigs is not None:
+                assert i < len(self.sigs) and self.sigs[i] == sig, (
+                    f"int8 site {i} signature {sig} != calibrated "
+                    f"{self.sigs[i] if self.sigs and i < len(self.sigs) else None}")
+            a_scale = jnp.float32(self.scales[i])
+        else:
+            a_max = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            a_scale = jnp.maximum(a_max, 1e-8) / 127.0
+            if self.mode == "calibrate":
+                self.collected.append(a_scale)
+                self.collected_sigs.append(sig)
+        return conv1d_w8a8(x, c["w"], c.get("b"), dilation=dilation,
+                           padding=padding, w_q=c.get("w_q"),
+                           w_scale=c.get("w_scale"), a_scale=a_scale)
+
+
+def as_ctx(use_int8):
+    """Normalize the threaded use_int8 value to an Int8Ctx or None."""
+    if isinstance(use_int8, Int8Ctx):
+        return use_int8
+    return Int8Ctx("dynamic") if use_int8 else None
+
+
+def prequantize_decode(params):
+    """Attach w_q/w_scale to every decode resblock conv dict (in a copy
+    of the tree).  Runs once at pipeline construction so the hot program
+    receives quantized weights as arguments instead of re-quantizing
+    ~54 conv weights per call."""
+    import copy
+
+    params = dict(params)
+    if "dec" not in params or "resblocks" not in params.get("dec", {}):
+        return params
+    dec = dict(params["dec"])
+    new_rbs = []
+    for rb in dec["resblocks"]:
+        rb = {k: [dict(c) for c in v] if isinstance(v, list) else v
+              for k, v in rb.items()}
+        for key in ("convs1", "convs2"):
+            for c in rb.get(key, []):
+                if "w" in c and getattr(c["w"], "ndim", 0) == 3:
+                    w_q, w_scale = quantize_weight(jnp.asarray(c["w"]))
+                    c["w_q"], c["w_scale"] = w_q, w_scale
+        new_rbs.append(rb)
+    dec["resblocks"] = new_rbs
+    params["dec"] = dec
+    del copy
+    return params
+
+
+def conv1d_w8a8(x, w, b=None, *, dilation: int = 1, padding: int = 0,
+                w_q=None, w_scale=None, a_scale=None):
     """Drop-in for ops.nn.conv1d on NTC activations with W8A8 quant.
 
-    x: (B, T, Cin) bf16/f32; w: (K, Cin, Cout) float.  The weight is
-    quantized here per call (pipeline weights are jit ARGUMENTS, so XLA
-    cannot fold this; pre-quantizing at pipeline init is the known
-    improvement if this path ever wins e2e).  Returns x.dtype.
+    x: (B, T, Cin) bf16/f32; w: (K, Cin, Cout) float.  w_q/w_scale skip
+    the per-call weight quantization (prequantize_decode); a_scale skips
+    the per-call activation amax (calibrated static scale).  Returns
+    x.dtype.
     """
     out_dtype = x.dtype
-    w_q, w_scale = quantize_weight(w)
-    a_max = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    a_scale = jnp.maximum(a_max, 1e-8) / 127.0
+    if w_q is None or w_scale is None:
+        w_q, w_scale = quantize_weight(w)
+    if a_scale is None:
+        a_max = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        a_scale = jnp.maximum(a_max, 1e-8) / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
                    -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
@@ -74,3 +167,11 @@ def conv1d_w8a8(x, w, b=None, *, dilation: int = 1, padding: int = 0):
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def calibration_scales(collected, sigs) -> tuple[np.ndarray, list]:
+    """Fetch calibration outputs -> (per-site float scales, signatures).
+    A safety margin (x1.05) guards inputs slightly hotter than the
+    calibration batch; int8 clips gracefully beyond it."""
+    scales = np.asarray([float(s) for s in collected], np.float32) * 1.05
+    return scales, list(sigs)

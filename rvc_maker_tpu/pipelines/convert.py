@@ -142,6 +142,16 @@ class ConvertPipeline:
             return jax.device_put(tree)
 
         self.synth_params = _prep(synth_params)
+        if (self.use_int8 and not hasattr(self.synth_params, "graph")
+                and isinstance(self.synth_params, dict)):
+            # one-time per-channel weight quantization: the hot program
+            # then receives w_q/w_scale as arguments instead of
+            # re-quantizing ~54 conv weights every call (the r3 e2e
+            # regression's biggest term, docs/perf_notes.md int8 A/B)
+            from ..ops.int8_conv import prequantize_decode
+
+            self.synth_params = jax.device_put(
+                jax.jit(prequantize_decode)(self.synth_params))
         self.cfg = model_cfg
         self.hubert_params = _prep(hubert_params)
         self.version = version
@@ -156,6 +166,62 @@ class ConvertPipeline:
         self.index_vectors = (_prep(jnp.asarray(index_vectors))
                               if index_vectors is not None else None)
         self._step_cache: dict = {}
+        if (self.use_int8 and not hasattr(self.synth_params, "graph")
+                and self.cfg.vocoder == "Default" and self.cfg.use_f0
+                and jax.process_count() == 1
+                and os.environ.get("RVC_TPU_INT8_DYNAMIC", "0") != "1"):
+            # calibrated static activation scales: one jitted pass over a
+            # voiced calibration batch records each conv site's amax, then
+            # the hot program bakes the scales as constants — the dynamic
+            # amax reduce (an extra HBM pass per conv) disappears.
+            # RVC_TPU_INT8_DYNAMIC=1 keeps the r3 per-call behavior (A/B).
+            try:
+                self._int8_calibrate()
+            except Exception as e:  # noqa: BLE001 — fall back to dynamic
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "int8 calibration failed (%s); using dynamic scales", e)
+
+    def _int8_calibrate(self) -> None:
+        """Record per-site activation scales on a voiced calibration batch
+        (2 x 1 s tones with vibrato through the real f0+features+synth
+        path), then switch self.use_int8 to a static-scale Int8Ctx."""
+        from ..ops.int8_conv import Int8Ctx, calibration_scales
+
+        ctx = Int8Ctx("calibrate")
+        self.use_int8 = ctx   # _synth_raw reads this at trace time
+
+        f0_fn = self._f0_raw("yin")
+        feat_fn = self._features_raw(False)
+        synth_fn = self._synth_raw()
+        dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
+                                jnp.float32)
+        tt = np.arange(SAMPLE_RATE) / SAMPLE_RATE
+        vib = 1 + 0.03 * np.sin(2 * np.pi * 5 * tt)
+        audio = np.stack([
+            0.5 * np.sin(2 * np.pi * hz * np.cumsum(vib) / SAMPLE_RATE)
+            for hz in (150.0, 260.0)]).astype(np.float32)
+        lens = jnp.full((2,), audio.shape[1], jnp.int32)
+
+        def run(sp, hp, audio_in, lengths):
+            f0 = f0_fn(None, audio_in, jnp.float32(0.0), jnp.float32(0.0))
+            feats, feats0 = feat_fn(hp, dummy_index, audio_in, lengths,
+                                    jnp.float32(0.0))
+            wav, _ = synth_fn(sp, feats, feats0, f0, lengths,
+                              jnp.zeros((2,), jnp.int32), jnp.float32(0.5),
+                              jax.random.PRNGKey(0))
+            return wav, tuple(ctx.collected)
+
+        sp = (None if hasattr(self.synth_params, "graph")
+              else self.synth_params)
+        hp = (None if hasattr(self.hubert_params, "graph")
+              else self.hubert_params)
+        _, collected = jax.jit(run)(sp, hp, jnp.asarray(audio), lens)
+        scales, sigs = calibration_scales(collected, ctx.collected_sigs)
+        # from here every jitted stage traces with baked static scales
+        # (calibration ran before any hot jit was created)
+        self.use_int8 = Int8Ctx("static", scales, sigs)
 
     # -- staged device programs ------------------------------------------
     #

@@ -121,7 +121,15 @@ def test_pipeline_threads_int8(monkeypatch):
     monkeypatch.setenv("RVC_TPU_INT8", "1")
     quant = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
                             compute_dtype=jnp.bfloat16)
-    assert quant.use_int8 is True
+    # init calibrates static activation scales and pre-quantizes weights
+    from rvc_maker_tpu.ops.int8_conv import Int8Ctx
+
+    assert isinstance(quant.use_int8, Int8Ctx)
+    assert quant.use_int8.mode == "static"
+    assert len(quant.use_int8.scales) > 0
+    assert (quant.use_int8.scales > 0).all()
+    rb0 = quant.synth_params["dec"]["resblocks"][0]["convs1"][0]
+    assert rb0["w_q"].dtype == jnp.int8
     w_quant, _ = quant.convert_batch(audio, lengths, 0, settings)
 
     a, b = np.asarray(w_plain[0]), np.asarray(w_quant[0])
