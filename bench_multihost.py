@@ -59,6 +59,10 @@ def worker(args) -> None:
     mesh = dist.global_data_mesh()
     n_dev = len(jax.devices())
 
+    if args.mode == "train":
+        _worker_train(args, dist, mesh, rank, world, n_dev)
+        return
+
     if args.full:
         cfg = preset("v2", 48000).model
         t = 1000
@@ -114,6 +118,90 @@ def worker(args) -> None:
                           "thr_per_dev": thr / n_dev}), flush=True)
 
 
+def _worker_train(args, dist, mesh, rank: int, world: int,
+                  n_dev: int) -> None:
+    """GAN train-step leg: full sharded train step (G fwd, D step, G step,
+    optimizer) over the global mesh — the pod-ready counterpart of the
+    reference's single-node DDP training (train.py:144-178)."""
+    import numpy as np
+
+    import jax
+
+    from rvc_maker_tpu.config import (DataConfig, ModelConfig, RVCConfig,
+                                      TrainConfig, preset)
+    from rvc_maker_tpu.parallel import replicate
+    from rvc_maker_tpu.pipelines import train as train_mod
+
+    if args.full:
+        cfg = preset("v2", 48000)
+        disc_div = 1
+        t = 400
+    else:  # tiny config: identical code path + shardings, CPU-friendly
+        hop = 64
+        seg = 8
+        cfg = RVCConfig(
+            version="v2", train=TrainConfig(segment_size=seg * hop),
+            data=DataConfig(sample_rate=16000, filter_length=256,
+                            hop_length=hop, win_length=256,
+                            n_mel_channels=32),
+            model=ModelConfig(
+                spec_channels=129, segment_size=seg, inter_channels=32,
+                hidden_channels=32, filter_channels=64, n_heads=2,
+                n_layers=1, kernel_size=3, resblock_kernel_sizes=(3,),
+                resblock_dilation_sizes=((1, 3),),
+                upsample_rates=(4, 4, 2, 2), upsample_initial_channel=32,
+                upsample_kernel_sizes=(8, 8, 4, 4), spk_embed_dim=4,
+                gin_channels=16, sr=16000, use_f0=True,
+                text_enc_hidden_dim=96))
+        disc_div = 16
+        t = 100
+
+    model = cfg.model
+    hop = cfg.data.hop_length
+    state = train_mod.init_state(jax.random.PRNGKey(0), cfg,
+                                 disc_width_div=disc_div)
+    state = replicate(state, mesh)
+
+    b_global = args.batch_per_dev * n_dev
+    b_local = b_global // world
+    rs = np.random.RandomState(1000 + rank)
+    local = train_mod.Batch(
+        phone=rs.randn(b_local, t, model.text_enc_hidden_dim).astype(
+            np.float32),
+        phone_lengths=np.full((b_local,), t, np.int32),
+        pitch=rs.randint(1, 256, (b_local, t)).astype(np.int32),
+        pitchf=(rs.rand(b_local, t) * 200 + 80).astype(np.float32),
+        spec=rs.randn(b_local, t, model.spec_channels).astype(np.float32),
+        spec_lengths=np.full((b_local,), t, np.int32),
+        wave=rs.randn(b_local, t * hop, 1).astype(np.float32) * 0.1,
+        sid=rs.randint(0, 4, (b_local,)).astype(np.int32),
+    )
+    gbatch = dist.shard_host_local(local, mesh)
+    rng = replicate(jax.random.PRNGKey(1), mesh)
+
+    step = train_mod.make_sharded_train_step(cfg, mesh,
+                                             disc_width_div=disc_div)
+    # compile + warm
+    state, metrics = step(state, gbatch, rng)
+    jax.block_until_ready(metrics["loss_g"])
+    dist.sync_global("warm")
+    t0 = time.time()
+    for _ in range(args.iters):
+        state, metrics = step(state, gbatch, rng)
+    # fetch a scalar: block_until_ready alone can return early (tunnel)
+    loss = float(np.asarray(metrics["loss_g"]))
+    dt = time.time() - t0
+    steps_s = args.iters / dt
+    audio_h_day = (steps_s * b_global * cfg.train.segment_size
+                   / cfg.data.sample_rate * 86400 / 3600)
+    if rank == 0:
+        print(json.dumps({"thr": steps_s, "n_dev": n_dev, "world": world,
+                          "thr_per_dev": steps_s * b_global / n_dev,
+                          "steps_per_s": steps_s,
+                          "audio_h_day": audio_h_day,
+                          "loss_g": loss}), flush=True)
+
+
 def _replicate_global(tree, mesh):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -141,7 +229,8 @@ def _spawn_fleet(nprocs: int, args, port: int) -> dict:
                 + env.get("XLA_FLAGS", ""))
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--iters", str(args.iters),
-               "--batch-per-dev", str(args.batch_per_dev)]
+               "--batch-per-dev", str(args.batch_per_dev),
+               "--mode", args.mode]
         if args.full:
             cmd.append("--full")
         p = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
@@ -172,6 +261,9 @@ def main() -> None:
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--batch-per-dev", type=int, default=1)
+    ap.add_argument("--mode", choices=["infer", "train"], default="infer",
+                    help="infer: synthesizer decode leg; train: full GAN "
+                         "train step over the global mesh")
     ap.add_argument("--full", action="store_true",
                     help="full v2/48k model (for real TPU hosts)")
     ap.add_argument("--no-force-cpu", dest="force_cpu", action="store_false",
@@ -199,8 +291,9 @@ def main() -> None:
     r1 = _spawn_fleet(1, baseline_args, free_port())
     rN = _spawn_fleet(args.nprocs, args, free_port())
     eff = rN["thr_per_dev"] / r1["thr_per_dev"]
-    print(json.dumps({
-        "metric": "scaling_efficiency",
+    out = {
+        "metric": ("train_scaling_efficiency" if args.mode == "train"
+                   else "scaling_efficiency"),
         "value": round(eff, 4),
         "unit": "frac",
         "nprocs": args.nprocs,
@@ -209,7 +302,11 @@ def main() -> None:
         "thrN_per_dev": round(rN["thr_per_dev"], 2),
         "thrN_total": round(rN["thr"], 2),
         "vs_baseline": round(eff / 0.85, 3),
-    }))
+    }
+    if args.mode == "train":
+        out["steps_per_s_N"] = round(rN["steps_per_s"], 4)
+        out["audio_h_day_N"] = round(rN["audio_h_day"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
