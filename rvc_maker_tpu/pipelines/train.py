@@ -24,6 +24,7 @@ The data pipeline (filelists, bucketing) lives in pipelines/data.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
@@ -97,7 +98,8 @@ class Batch:
 
 
 def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
-                    remat: bool = False, bf16: bool = False):
+                    remat: bool = False, bf16: bool = False,
+                    share_fwd: bool | None = None):
     """Returns jittable train_step(state, batch, rng) -> (state, metrics).
 
     disc_width_div shrinks discriminator channels for dry runs/tests
@@ -120,6 +122,11 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
     periods = disc.PERIODS_V2 if cfg.version == "v2" else disc.PERIODS_V1
     opt = make_optimizer(cfg)
     half = jnp.bfloat16 if bf16 else None
+    if share_fwd is None:
+        # explicit single generator forward shared between the D and G
+        # steps (jax.vjp) — RVC_TPU_SHARE_FWD=0 restores the legacy
+        # two-call structure (XLA-CSE dependent)
+        share_fwd = os.environ.get("RVC_TPU_SHARE_FWD", "1") == "1"
 
     def _forward_g_raw(params_g, batch: Batch, rng):
         if half is not None:
@@ -193,22 +200,98 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
                    loss_adv=loss_adv, wave_slice=wave_slice, y_hat=y_hat)
         return loss, aux
 
+    def _post_g_loss(y_hat, latents, y_mask, ids_slice, params_d,
+                     batch: Batch):
+        """G loss from a given generator forward (y_hat + latents) —
+        the post-decode half of g_loss_fn, differentiated wrt
+        (y_hat, latents) so the generator backward runs through ONE
+        jax.vjp instead of re-running the forward inside value_and_grad."""
+        z, z_p, m_p, logs_p, m_q, logs_q = latents
+        y_hat32 = y_hat.astype(jnp.float32)
+        mel = spec_to_mel(batch.spec.astype(jnp.float32),
+                          n_fft=dcfg.filter_length,
+                          n_mels=dcfg.n_mel_channels,
+                          sample_rate=dcfg.sample_rate, fmin=dcfg.mel_fmin,
+                          fmax=dcfg.mel_fmax)
+        y_mel = slice_segments(mel, ids_slice, seg_frames)
+        y_hat_mel = mel_spectrogram(
+            y_hat32[:, :, 0], n_fft=dcfg.filter_length,
+            num_mels=dcfg.n_mel_channels, sample_rate=dcfg.sample_rate,
+            hop_length=dcfg.hop_length, win_length=dcfg.win_length,
+            fmin=dcfg.mel_fmin, fmax=dcfg.mel_fmax)
+        wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
+                                    cfg.train.segment_size)
+        d_params = (_cast_floats(params_d, half) if half is not None
+                    else params_d)
+        y_d_r, y_d_g, fmap_r, fmap_g = mpd(
+            d_params,
+            wave_slice.astype(half) if half is not None else wave_slice,
+            y_hat, periods, disc_width_div)
+        if half is not None:
+            y_d_g = _cast_floats(y_d_g, jnp.float32)
+            fmap_r = _cast_floats(fmap_r, jnp.float32)
+            fmap_g = _cast_floats(fmap_g, jnp.float32)
+        loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
+        loss_kl = disc.kl_loss(z_p, logs_q, m_p, logs_p,
+                               y_mask) * cfg.train.c_kl
+        loss_fm = disc.feature_loss(fmap_r, fmap_g)
+        loss_adv, _ = disc.generator_loss(y_d_g)
+        loss = loss_adv + loss_fm + loss_mel + loss_kl
+        aux = dict(loss_mel=loss_mel, loss_kl=loss_kl, loss_fm=loss_fm,
+                   loss_adv=loss_adv)
+        return loss, aux
+
     def train_step(state: TrainState, batch: Batch, rng):
         rng_fwd, _ = jax.random.split(rng)
 
-        # ---- D step (generator output through stop_gradient) ------------
-        y_hat, ids_slice, _, _ = forward_g(state.params_g, batch, rng_fwd)
-        wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
-                                    cfg.train.segment_size)
-        (loss_d, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.params_d, wave_slice, y_hat)
-        d_updates, opt_d = opt.update(
-            d_grads, _with_lr(state.opt_d, state.lr), state.params_d)
-        params_d = optax.apply_updates(state.params_d, d_updates)
+        if share_fwd:
+            # ---- ONE generator forward, reused everywhere ---------------
+            # The legacy step ran forward_g twice (D step + inside the G
+            # value_and_grad) and relied on XLA CSE to dedupe; sharing it
+            # explicitly via jax.vjp guarantees 1 forward + 1 backward.
+            def fwd_wrap(pg):
+                y_hat, ids_slice, y_mask, latents = forward_g(pg, batch,
+                                                              rng_fwd)
+                return (y_hat, latents), (ids_slice, y_mask)
 
-        # ---- G step (against the UPDATED D, as the reference does) ------
-        (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params_g, params_d, batch, rng_fwd)
+            y_lat, g_vjp, fwd_aux = jax.vjp(fwd_wrap, state.params_g,
+                                            has_aux=True)
+            y_hat, latents = y_lat
+            ids_slice, y_mask = fwd_aux
+
+            # ---- D step (stop_gradient on the shared y_hat) -------------
+            wave_slice = slice_segments(batch.wave,
+                                        ids_slice * dcfg.hop_length,
+                                        cfg.train.segment_size)
+            (loss_d, _), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d, wave_slice, y_hat)
+            d_updates, opt_d = opt.update(
+                d_grads, _with_lr(state.opt_d, state.lr), state.params_d)
+            params_d = optax.apply_updates(state.params_d, d_updates)
+
+            # ---- G step vs the UPDATED D, backward through the vjp ------
+            (loss_g, aux), (cot_y, cot_lat) = jax.value_and_grad(
+                _post_g_loss, argnums=(0, 1), has_aux=True)(
+                    y_hat, latents, y_mask, ids_slice, params_d, batch)
+            (g_grads,) = g_vjp((cot_y, cot_lat))
+        else:
+            # ---- D step (generator output through stop_gradient) --------
+            y_hat, ids_slice, _, _ = forward_g(state.params_g, batch,
+                                               rng_fwd)
+            wave_slice = slice_segments(batch.wave,
+                                        ids_slice * dcfg.hop_length,
+                                        cfg.train.segment_size)
+            (loss_d, _), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d, wave_slice, y_hat)
+            d_updates, opt_d = opt.update(
+                d_grads, _with_lr(state.opt_d, state.lr), state.params_d)
+            params_d = optax.apply_updates(state.params_d, d_updates)
+
+            # ---- G step (against the UPDATED D, as the reference does) --
+            (loss_g, aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params_g, params_d, batch,
+                                         rng_fwd)
+
         g_updates, opt_g = opt.update(
             g_grads, _with_lr(state.opt_g, state.lr), state.params_g)
         params_g = optax.apply_updates(state.params_g, g_updates)
