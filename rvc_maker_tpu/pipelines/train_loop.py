@@ -249,6 +249,19 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                     dataset, batch_size=batch_size * n_dev, epoch=epoch,
                     seed=cfg.train.seed, rank=rank, num_replicas=world):
                 rng, step_rng = jax.random.split(rng)
+                if cfg.train.bf16:
+                    # the step casts phone/wave to bf16 anyway — casting
+                    # on the host first halves the host->device feed
+                    # (phone alone is B x T x 768 fp32), numerically
+                    # identical to the in-step cast
+                    import dataclasses as _dc
+
+                    import ml_dtypes
+
+                    batch = _dc.replace(
+                        batch,
+                        phone=batch.phone.astype(ml_dtypes.bfloat16),
+                        wave=batch.wave.astype(ml_dtypes.bfloat16))
                 batch = dist_mod.shard_host_local(batch, mesh)
                 state, metrics = step_fn(state, batch, replicate(step_rng, mesh))
                 n_batches += 1
