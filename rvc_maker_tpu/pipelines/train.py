@@ -161,44 +161,12 @@ def make_train_step(cfg: RVCConfig, disc_width_div: int = 1,
         return loss_d, (r_losses, g_losses)
 
     def g_loss_fn(params_g, params_d, batch: Batch, rng):
-        y_hat, ids_slice, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = \
-            forward_g(params_g, batch, rng)
-
-        # mel branch in fp32 (mel L1 x45 dominates the G loss; STFT in
-        # bf16 would put half the loss signal into rounding noise)
-        y_hat32 = y_hat.astype(jnp.float32)
-        mel = spec_to_mel(batch.spec.astype(jnp.float32),
-                          n_fft=dcfg.filter_length,
-                          n_mels=dcfg.n_mel_channels,
-                          sample_rate=dcfg.sample_rate, fmin=dcfg.mel_fmin,
-                          fmax=dcfg.mel_fmax)
-        y_mel = slice_segments(mel, ids_slice, seg_frames)
-        y_hat_mel = mel_spectrogram(
-            y_hat32[:, :, 0], n_fft=dcfg.filter_length,
-            num_mels=dcfg.n_mel_channels, sample_rate=dcfg.sample_rate,
-            hop_length=dcfg.hop_length, win_length=dcfg.win_length,
-            fmin=dcfg.mel_fmin, fmax=dcfg.mel_fmax)
-        wave_slice = slice_segments(batch.wave, ids_slice * dcfg.hop_length,
-                                    cfg.train.segment_size)
-
-        d_params = (_cast_floats(params_d, half) if half is not None
-                    else params_d)
-        y_d_r, y_d_g, fmap_r, fmap_g = mpd(
-            d_params,
-            wave_slice.astype(half) if half is not None else wave_slice,
-            y_hat, periods, disc_width_div)
-        if half is not None:
-            y_d_g = _cast_floats(y_d_g, jnp.float32)
-            fmap_r = _cast_floats(fmap_r, jnp.float32)
-            fmap_g = _cast_floats(fmap_g, jnp.float32)
-        loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
-        loss_kl = disc.kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
-        loss_fm = disc.feature_loss(fmap_r, fmap_g)
-        loss_adv, _ = disc.generator_loss(y_d_g)
-        loss = loss_adv + loss_fm + loss_mel + loss_kl
-        aux = dict(loss_mel=loss_mel, loss_kl=loss_kl, loss_fm=loss_fm,
-                   loss_adv=loss_adv, wave_slice=wave_slice, y_hat=y_hat)
-        return loss, aux
+        """Legacy combined loss (share_fwd=False): re-runs the generator
+        forward inside the grad and defers to the shared post-decode
+        loss for everything after it."""
+        y_hat, ids_slice, y_mask, latents = forward_g(params_g, batch, rng)
+        return _post_g_loss(y_hat, latents, y_mask, ids_slice, params_d,
+                            batch)
 
     def _post_g_loss(y_hat, latents, y_mask, ids_slice, params_d,
                      batch: Batch):
