@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Served-path latency: request -> response through app/server.py.
+
+bench_latency.py measures the bare pipeline at B=1; this measures the
+PRODUCT surface the reference exposes through its Gradio app
+(app.py:841-999 convert flow): HTTP POST /api/convert with a wav, model
+load + pipeline build on first request, then warm request latency, and
+concurrent requests through the dynamic batcher (RVC_TPU_BATCH_SERVE=1).
+
+The bench process itself never touches the TPU: the model file is built
+in a CPU subprocess and the server subprocess owns the chip.  Prints ONE
+JSON line.
+
+Env knobs: BENCH_SERVED_SECS (5), BENCH_SERVED_WARM (5),
+BENCH_SERVED_CONC (4).
+"""
+
+import base64
+import io
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_model(path: str) -> None:
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {REPO!r})
+from rvc_maker_tpu.config import preset, RVCConfig
+from rvc_maker_tpu.models import synthesizer as syn
+from rvc_maker_tpu.interop.torch_export import export_synthesizer_pth
+cfg = preset("v2", 48000)
+params = syn.init_params(jax.random.PRNGKey(0), cfg.model)
+export_synthesizer_pth(params, cfg, {path!r}, epoch=1, step=1,
+                       author="bench")
+print("model written")
+"""
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=900)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+
+
+def tone_b64(secs: float, sr: int = 16000, freq: float = 220.0) -> str:
+    from scipy.io import wavfile
+
+    t = np.arange(int(sr * secs)) / sr
+    vib = 1 + 0.02 * np.sin(2 * np.pi * 5 * t)
+    tone = (0.4 * np.sin(2 * np.pi * freq * np.cumsum(vib) / sr)
+            * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, tone)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def post(port: int, path: str, payload: dict, timeout: float = 3600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def main():
+    secs = float(os.environ.get("BENCH_SERVED_SECS", "5"))
+    warm_n = int(os.environ.get("BENCH_SERVED_WARM", "5"))
+    conc = int(os.environ.get("BENCH_SERVED_CONC", "4"))
+
+    model = "/tmp/bench_served_model.pth"
+    if not os.path.exists(model):
+        log("building v2-48k model file (CPU subprocess) ...")
+        make_model(model)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rvc_tpu_jax_cache")
+    env["RVC_TPU_BATCH_SERVE"] = "1"
+    srv = subprocess.Popen(
+        [sys.executable, "-u", "-m", "rvc_maker_tpu.app.server",
+         "--port", str(port)],
+        cwd=REPO, env=env, stdout=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT)
+    try:
+        for _ in range(120):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/i18n", timeout=2)
+                break
+            except Exception:  # noqa: BLE001
+                time.sleep(0.5)
+        audio = tone_b64(secs)
+        payload = {"audio_b64": audio, "model": model,
+                   "f0_method": "yin", "index_rate": 0.0}
+
+        log("cold request (model load + compile through the tunnel) ...")
+        t0 = time.time()
+        r = post(port, "/api/convert", payload)
+        cold = time.time() - t0
+        assert "audio_b64" in r, r
+        log(f"cold: {cold:.1f}s")
+
+        lat = []
+        for _ in range(warm_n):
+            t0 = time.time()
+            post(port, "/api/convert", payload)
+            lat.append(time.time() - t0)
+        warm = min(lat)
+        log(f"warm sequential: best {warm*1e3:.0f} ms "
+            f"({[f'{x*1e3:.0f}' for x in lat]})")
+
+        # concurrent requests ride one device dispatch via the batcher
+        results = [None] * conc
+        payloads = [{"audio_b64": tone_b64(secs, freq=180 + 30 * i),
+                     "model": model, "f0_method": "yin", "index_rate": 0.0}
+                    for i in range(conc)]
+        for p in payloads:          # warm each distinct request shape
+            post(port, "/api/convert", p)
+
+        def worker(i):
+            t0 = time.time()
+            post(port, "/api/convert", payloads[i])
+            results[i] = time.time() - t0
+
+        t0 = time.time()
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(conc)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t0
+        log(f"concurrent x{conc}: wall {wall*1e3:.0f} ms, per-request "
+            f"{[f'{x*1e3:.0f}' for x in results]}")
+
+        print(json.dumps({
+            "metric": "served_convert_latency_warm_s",
+            "value": round(warm, 3),
+            "unit": f"s per {secs:.0f}s utterance (POST /api/convert, "
+                    "bf16, yin)",
+            "cold_s": round(cold, 1),
+            "concurrent_n": conc,
+            "concurrent_wall_s": round(wall, 3),
+            "concurrent_speedup_vs_serial": round(
+                conc * warm / max(wall, 1e-9), 2),
+            "realtime_factor": round(secs / warm, 1),
+        }))
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+
+
+if __name__ == "__main__":
+    main()
