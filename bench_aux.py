@@ -43,24 +43,69 @@ def timed(fn, fetch, iters=3):
     return best
 
 
-def bench_whisper(results):
-    import torch
+def _whisper_random_sd(dims, rs):
+    """Random whisper-layout torch-style state dict (numpy values feed
+    params_from_state_dict directly) — the reference whisper module
+    needs numba at import, absent here."""
+    sd = {}
 
+    def lin(prefix, i, o, bias=True):
+        sd[f"{prefix}.weight"] = rs.randn(o, i).astype(np.float32) * 0.02
+        if bias:
+            sd[f"{prefix}.bias"] = np.zeros(o, np.float32)
+
+    def ln(prefix, d):
+        sd[f"{prefix}.weight"] = np.ones(d, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(d, np.float32)
+
+    def blocks(prefix, n, d, cross):
+        for i in range(n):
+            bp = f"{prefix}.blocks.{i}"
+            lin(f"{bp}.attn.query", d, d)
+            lin(f"{bp}.attn.key", d, d, bias=False)
+            lin(f"{bp}.attn.value", d, d)
+            lin(f"{bp}.attn.out", d, d)
+            ln(f"{bp}.attn_ln", d)
+            if cross:
+                lin(f"{bp}.cross_attn.query", d, d)
+                lin(f"{bp}.cross_attn.key", d, d, bias=False)
+                lin(f"{bp}.cross_attn.value", d, d)
+                lin(f"{bp}.cross_attn.out", d, d)
+                ln(f"{bp}.cross_attn_ln", d)
+            lin(f"{bp}.mlp.0", d, 4 * d)
+            lin(f"{bp}.mlp.2", 4 * d, d)
+            ln(f"{bp}.mlp_ln", d)
+
+    d = dims.n_audio_state
+    sd["encoder.conv1.weight"] = rs.randn(d, dims.n_mels, 3).astype(
+        np.float32) * 0.02
+    sd["encoder.conv1.bias"] = np.zeros(d, np.float32)
+    sd["encoder.conv2.weight"] = rs.randn(d, d, 3).astype(np.float32) * 0.02
+    sd["encoder.conv2.bias"] = np.zeros(d, np.float32)
+    blocks("encoder", dims.n_audio_layer, d, cross=False)
+    ln("encoder.ln_post", d)
+    sd["decoder.token_embedding.weight"] = rs.randn(
+        dims.n_vocab, dims.n_text_state).astype(np.float32) * 0.02
+    sd["decoder.positional_embedding"] = rs.randn(
+        dims.n_text_ctx, dims.n_text_state).astype(np.float32) * 0.02
+    blocks("decoder", dims.n_text_layer, dims.n_text_state, cross=True)
+    ln("decoder.ln", dims.n_text_state)
+    return sd
+
+
+def bench_whisper(results):
     import jax.numpy as jnp
 
-    from reference_util import ref_module
     from rvc_maker_tpu.models import whisper as jwhisper
 
-    log("whisper: building base-scale model (torch CPU init) ...")
-    ref_mod = ref_module("main.library.speaker_diarization.whisper")
+    log("whisper: building base-scale model (numpy random init) ...")
     dims = jwhisper.WhisperDims(
         n_mels=80, n_audio_ctx=1500, n_audio_state=512, n_audio_head=8,
         n_audio_layer=6, n_vocab=51865, n_text_ctx=448, n_text_state=512,
         n_text_head=8, n_text_layer=6)          # whisper-base geometry
-    torch.manual_seed(0)
-    net = ref_mod.Whisper(ref_mod.ModelDimensions(**dims.__dict__))
-    params = jwhisper.params_from_state_dict(net.state_dict(), dims)
-    del net
+    rs = np.random.RandomState(0)
+    params = jwhisper.params_from_state_dict(_whisper_random_sd(dims, rs),
+                                             dims)
     import jax
 
     params = jax.device_put(params)
@@ -119,13 +164,19 @@ def bench_demucs(results):
         {"klass": type(net), "args": args, "kwargs": kwargs,
          "state": net.state_dict()})
     del net
-    params = jax.device_put(params)
+    # params stay a HOST tree closed over the jit: device_put would turn
+    # the python metadata leaves (freq/empty/stride) into device arrays
+    # and break the static branches (pipelines/separate.py:68 does the
+    # same)
 
     seg_len = int(cfg.segment * cfg.samplerate)
     rs = np.random.RandomState(0)
     mix = (rs.randn(1, 2, seg_len) * 0.1).astype(np.float32)
-    fn = jax.jit(lambda p, m: jdemucs.apply_model_single(p, cfg, m))
-    t = timed(lambda: fn(params, jnp.asarray(mix)),
+    # params close over the jit (like pipelines/separate.py:68): the
+    # tree carries python metadata (freq/empty flags) that must stay
+    # static, not become tracers
+    fn = jax.jit(lambda m: jdemucs.apply_model_single(params, cfg, m))
+    t = timed(lambda: fn(jnp.asarray(mix)),
               lambda o: np.asarray(o).sum())
     secs = seg_len / cfg.samplerate
     log(f"htdemucs segment ({secs:.1f}s stereo): {t*1e3:.0f} ms")
@@ -190,7 +241,8 @@ def bench_audioldm2(results):
     params = am.init_unet(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
     rs = np.random.RandomState(0)
-    lat = jnp.asarray(rs.randn(1, cfg.in_channels, 128, 16)
+    # sample layout is channels-LAST: (B, t, f, Z) — audioldm2.py:501
+    lat = jnp.asarray(rs.randn(1, 128, 16, cfg.in_channels)
                       .astype(np.float32))
     eh0 = jnp.asarray(rs.randn(1, 8, cfg.cross_dim).astype(np.float32))
     eh1 = jnp.asarray(rs.randn(1, 8, cfg.cross_dim_1).astype(np.float32))
