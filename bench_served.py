@@ -140,15 +140,20 @@ def main():
             post(port, "/api/convert", payloads[i])
             results[i] = time.time() - t0
 
-        t0 = time.time()
-        threads = [threading.Thread(target=worker, args=(i,))
-                   for i in range(conc)]
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join()
-        wall = time.time() - t0
-        log(f"concurrent x{conc}: wall {wall*1e3:.0f} ms, per-request "
+        def burst():
+            t0 = time.time()
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(conc)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            return time.time() - t0
+
+        cold_burst = burst()   # first burst compiles the batched shape
+        wall = min(burst(), burst())
+        log(f"concurrent x{conc}: first burst {cold_burst:.1f}s (batched-"
+            f"shape compile), warm wall {wall*1e3:.0f} ms, per-request "
             f"{[f'{x*1e3:.0f}' for x in results]}")
 
         print(json.dumps({
