@@ -180,8 +180,10 @@ class ConvertPipeline:
             except Exception as e:  # noqa: BLE001 — fall back to dynamic
                 import logging
 
+                from ..utils.i18n import tr
+
                 logging.getLogger(__name__).warning(
-                    "int8 calibration failed (%s); using dynamic scales", e)
+                    "%s", tr("int8_calibration_failed", e=e))
 
     def _int8_calibrate(self) -> None:
         """Record per-site activation scales on a voiced calibration batch

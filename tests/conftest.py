@@ -120,6 +120,7 @@ _SLOW_TESTS = {
     "test_train_step.py::test_bf16_remat_composes",
     "test_train_step.py::test_bf16_step_tracks_fp32",
     "test_train_step.py::test_single_device_step_runs_and_updates",
+    "test_validate_real_weights.py::test_validator_end_to_end",
     "test_vocoder_training.py::test_alt_vocoder_export_import_roundtrip",
     "test_vocoder_training.py::test_train_step_alt_vocoder",
     "test_vocoders_parity.py::test_interp_linear_matches_torch",
