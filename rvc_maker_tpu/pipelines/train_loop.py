@@ -33,6 +33,37 @@ from ..utils.i18n import tr
 logger = logging.getLogger(__name__)
 
 
+def _prefetch_placed(batch_iter, place, depth: int = 2):
+    """Assemble + device-place batches on a background thread, `depth`
+    ahead of the consumer: the host-side item decode and the
+    host->device upload of batch i+1 overlap the device compute of
+    step i (the feed, not the math, bounds the step rate on slow
+    interconnects — docs/perf_notes.md round 4)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def run():
+        try:
+            for item in batch_iter:
+                q.put(place(item))
+            q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — surface in consumer
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True,
+                     name="train-batch-prefetch").start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def state_params_hash(state: train_mod.TrainState) -> str:
     """sha256 over params_g leaves in deterministic (flatten) order —
     used to certify byte-exact checkpoint restore across processes."""
@@ -245,10 +276,7 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         for epoch in range(start_epoch, total_epochs + 1):
             t0 = time.time()
             n_batches = 0
-            for batch in data_mod.batches_for_epoch(
-                    dataset, batch_size=batch_size * n_dev, epoch=epoch,
-                    seed=cfg.train.seed, rank=rank, num_replicas=world):
-                rng, step_rng = jax.random.split(rng)
+            def _place(batch):
                 if cfg.train.bf16:
                     # the step casts phone/wave to bf16 anyway — casting
                     # on the host first halves the host->device feed
@@ -262,7 +290,14 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                         batch,
                         phone=batch.phone.astype(ml_dtypes.bfloat16),
                         wave=batch.wave.astype(ml_dtypes.bfloat16))
-                batch = dist_mod.shard_host_local(batch, mesh)
+                return dist_mod.shard_host_local(batch, mesh)
+
+            for batch in _prefetch_placed(
+                    data_mod.batches_for_epoch(
+                        dataset, batch_size=batch_size * n_dev, epoch=epoch,
+                        seed=cfg.train.seed, rank=rank, num_replicas=world),
+                    _place):
+                rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, replicate(step_rng, mesh))
                 n_batches += 1
                 step = int(np.asarray(state.step))

@@ -225,6 +225,27 @@ def test_settings_endpoint(server_port):
     set_language("en-US")
 
 
+def test_precision_setting_reaches_pipeline(tmp_path, server_port):
+    """The settings precision choice must select the pipeline's compute
+    dtype (r4 regression: served conversions ran fp32 regardless)."""
+    import jax.numpy as jnp
+
+    from rvc_maker_tpu.app import server as srv
+
+    params = syn.init_params(jax.random.PRNGKey(7), CFG_M)
+    p = str(tmp_path / "prec.pth")
+    export_synthesizer_pth(params, RVCConfig(version="v2", model=CFG_M), p)
+
+    _post(server_port, "/api/settings", {"precision": "bf16"})
+    pipe = srv._get_pipeline(p, "", "", "")
+    assert pipe.compute_dtype == jnp.bfloat16
+    _post(server_port, "/api/settings", {"precision": "fp32"})
+    pipe32 = srv._get_pipeline(p, "", "", "")
+    assert pipe32.compute_dtype is None
+    assert pipe32 is not pipe   # precision is part of the cache key
+    _post(server_port, "/api/settings", {"precision": "bf16"})
+
+
 def test_tts_endpoint(server_port):
     from tests.test_tts import FakeReadAloudServer, _pcm_wav_bytes
 
