@@ -385,7 +385,7 @@ def _log_eval_sample(tb, state: train_mod.TrainState, cfg: RVCConfig,
         tb.audio(step, "eval/generated", wav_np, m.sr)
         mel = np.asarray(mel_spectrogram(
             jnp.asarray(wav_np[None]), n_fft=cfg.data.filter_length,
-            n_mels=cfg.data.n_mel_channels, sr=m.sr,
+            num_mels=cfg.data.n_mel_channels, sample_rate=m.sr,
             hop_length=cfg.data.hop_length,
             win_length=cfg.data.win_length, fmin=0.0, fmax=None))[0]
         tb.mel_image(step, "eval/mel_generated", mel)

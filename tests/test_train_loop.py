@@ -171,3 +171,41 @@ def test_overtraining_detector_json_roundtrip(tmp_path):
     det2.load_json(path)
     assert det2.loss_gen_history == det.loss_gen_history
     assert det2.smoothed_disc == det.smoothed_disc
+
+
+def test_eval_sample_logging_produces_audio_and_mel():
+    """_log_eval_sample must emit both the audio and the mel image —
+    a silent signature break here (caught live in r4: mel_spectrogram
+    kwarg drift) would be swallowed by its never-kill-training guard."""
+    from rvc_maker_tpu.pipelines import train as train_mod
+    from rvc_maker_tpu.pipelines.train_loop import _log_eval_sample
+
+    state = train_mod.init_state(jax.random.PRNGKey(0), CFG,
+                                 disc_width_div=16)
+    rs = np.random.RandomState(0)
+    b, t = 2, 24
+    batch = train_mod.Batch(
+        phone=rs.randn(b, t, 768).astype(np.float32),
+        phone_lengths=np.full((b,), t, np.int32),
+        pitch=rs.randint(1, 256, (b, t)).astype(np.int32),
+        pitchf=(rs.rand(b, t) * 200 + 80).astype(np.float32),
+        spec=rs.randn(b, t, 129).astype(np.float32),
+        spec_lengths=np.full((b,), t, np.int32),
+        wave=(rs.randn(b, t * HOP, 1) * 0.1).astype(np.float32),
+        sid=np.zeros((b,), np.int32))
+
+    calls = []
+
+    class FakeTB:
+        def audio(self, step, tag, wav, sr):
+            calls.append(("audio", tag, len(wav)))
+
+        def mel_image(self, step, tag, mel):
+            calls.append(("mel", tag, mel.shape))
+
+        def flush(self):
+            pass
+
+    _log_eval_sample(FakeTB(), state, CFG, batch, step=1)
+    kinds = [c[0] for c in calls]
+    assert "audio" in kinds and "mel" in kinds, calls
