@@ -465,7 +465,10 @@ def _audio_to_wav_b64(audio: np.ndarray, sr: int) -> str:
 
 
 def _get_pipeline(model: str, index: str, rmvpe: str, embedder: str):
-    key = (model, index, rmvpe, embedder)
+    # the settings tab's precision choice selects the pipeline's compute
+    # dtype (bf16 fast mode is the production default; fp32 = parity)
+    precision = _SETTINGS.get("precision", "bf16")
+    key = (model, index, rmvpe, embedder, precision)
     with _LOCK:
         if _STATE["pipeline_key"] == key:
             return _STATE["pipeline"]
@@ -488,9 +491,13 @@ def _get_pipeline(model: str, index: str, rmvpe: str, embedder: str):
 
         rmvpe_params = load_rmvpe_pt(rmvpe)
     index_vectors = load_index(index).vectors if index else None
+    import jax.numpy as jnp
+
     pipe = ConvertPipeline(synth_params, cfg, hubert_params, version=version,
                            rmvpe_params=rmvpe_params,
-                           index_vectors=index_vectors)
+                           index_vectors=index_vectors,
+                           compute_dtype=(jnp.bfloat16
+                                          if precision == "bf16" else None))
     with _LOCK:
         _STATE["pipeline"] = pipe
         _STATE["pipeline_key"] = key

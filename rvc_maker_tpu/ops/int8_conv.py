@@ -79,7 +79,20 @@ class Int8Ctx:
         self.sigs = list(sigs) if sigs is not None else None
         self.collected: list = []
         self.collected_sigs: list = []
-        self._i = 0
+        # per-THREAD site counter: a trace runs on one thread, but a
+        # threaded server can trace two bucket lengths concurrently —
+        # a shared counter would interleave and misindex the scales
+        import threading
+
+        self._tls = threading.local()
+
+    @property
+    def _i(self) -> int:
+        return getattr(self._tls, "i", 0)
+
+    @_i.setter
+    def _i(self, v: int) -> None:
+        self._tls.i = v
 
     def reset_sites(self) -> None:
         """Called at the top of each decode trace (site order restarts)."""
@@ -119,8 +132,6 @@ def prequantize_decode(params):
     of the tree).  Runs once at pipeline construction so the hot program
     receives quantized weights as arguments instead of re-quantizing
     ~54 conv weights per call."""
-    import copy
-
     params = dict(params)
     if "dec" not in params or "resblocks" not in params.get("dec", {}):
         return params
@@ -137,7 +148,6 @@ def prequantize_decode(params):
         new_rbs.append(rb)
     dec["resblocks"] = new_rbs
     params["dec"] = dec
-    del copy
     return params
 
 

@@ -180,10 +180,14 @@ class ConvertPipeline:
             except Exception as e:  # noqa: BLE001 — fall back to dynamic
                 import logging
 
+                from ..ops.int8_conv import Int8Ctx
                 from ..utils.i18n import tr
 
                 logging.getLogger(__name__).warning(
                     "%s", tr("int8_calibration_failed", e=e))
+                # a half-initialized calibrate ctx would keep collecting
+                # escaped tracers on every future trace
+                self.use_int8 = Int8Ctx("dynamic")
 
     def _int8_calibrate(self) -> None:
         """Record per-site activation scales on a voiced calibration batch
@@ -692,27 +696,40 @@ class ConvertPipeline:
         if rng is None or settings.deterministic:
             rng = jax.random.PRNGKey(0)
         b, L = audio_batch.shape
+        trim_to = b           # multi-controller padding may grow b
         audio = jnp.asarray(audio_batch, jnp.float32)
         lengths_d = jnp.asarray(lengths, jnp.int32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             bsh = NamedSharding(self.mesh, P("data"))
+            # the 'data' axis shards rows, so the batch must divide the
+            # mesh; uneven batches (B=1 utterance chunks, microbatch
+            # tails) pad by repeating the last row and the pads are
+            # sliced off the results (trim_to)
+            pad_rows = (-b) % self._n_mesh
+            a_np = np.asarray(audio, np.float32)
+            l_np = np.asarray(lengths_d, np.int32)
+            if pad_rows:
+                a_np = np.concatenate(
+                    [a_np, np.repeat(a_np[-1:], pad_rows, 0)])
+                l_np = np.concatenate(
+                    [l_np, np.repeat(l_np[-1:], pad_rows, 0)])
+                trim_to, b = b, b + pad_rows
             if jax.process_count() > 1:
                 # multi-controller mesh: every process passes the SAME
                 # global batch; each contributes its row-slice to the
                 # global jax.Array (mirrors data.batches_for_epoch +
                 # distributed.shard_host_local on the train side)
                 rank, world = jax.process_index(), jax.process_count()
-                assert b % world == 0, (b, world)
                 rows = slice(rank * (b // world), (rank + 1) * (b // world))
                 audio = jax.make_array_from_process_local_data(
-                    bsh, np.asarray(audio, np.float32)[rows])
+                    bsh, a_np[rows])
                 lengths_d = jax.make_array_from_process_local_data(
-                    bsh, np.asarray(lengths_d, np.int32)[rows])
+                    bsh, l_np[rows])
             else:
-                audio = jax.device_put(audio, bsh)
-                lengths_d = jax.device_put(lengths_d, bsh)
+                audio = jax.device_put(jnp.asarray(a_np), bsh)
+                lengths_d = jax.device_put(jnp.asarray(l_np), bsh)
         dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
                                 jnp.float32)
 
@@ -731,7 +748,7 @@ class ConvertPipeline:
                   else self.hubert_params)
             rp = (None if hasattr(self.rmvpe_params, "input_names")
                   else self.rmvpe_params)
-            return self._stage_fused(settings.f0_method, use_index)(
+            wav_f, pf_f = self._stage_fused(settings.f0_method, use_index)(
                 sp, hp, self.index_vectors if use_index else dummy_index,
                 rp, audio, lengths_d, jnp.float32(settings.pitch),
                 jnp.float32(settings.f0_autotune_strength
@@ -739,6 +756,7 @@ class ConvertPipeline:
                 jnp.float32(settings.index_rate),
                 jnp.full((b,), sid, jnp.int32),
                 jnp.float32(settings.protect), rng)
+            return wav_f[:trim_to], pf_f[:trim_to]
 
         with stage_timer(f"f0:{settings.f0_method}") if prof \
                 else contextlib.nullcontext() as tm:
@@ -750,6 +768,9 @@ class ConvertPipeline:
             else:
                 f0 = jnp.asarray(self._host_f0(settings.f0_method,
                                                audio_batch, settings))
+                if f0.shape[0] < b:   # multi-controller row padding
+                    f0 = jnp.concatenate(
+                        [f0, jnp.repeat(f0[-1:], b - f0.shape[0], 0)])
             if settings.f0_file:
                 f0 = jnp.asarray(_apply_f0_file(np.asarray(f0), settings))
             if prof:
@@ -773,7 +794,7 @@ class ConvertPipeline:
                 jnp.float32(settings.protect), rng)
             if prof:
                 tm.result(out)
-        return out
+        return out[0][:trim_to], out[1][:trim_to]
 
     # -- full single-utterance conversion (reference VC.pipeline) --------
 

@@ -38,30 +38,53 @@ def _prefetch_placed(batch_iter, place, depth: int = 2):
     ahead of the consumer: the host-side item decode and the
     host->device upload of batch i+1 overlap the device compute of
     step i (the feed, not the math, bounds the step rate on slow
-    interconnects — docs/perf_notes.md round 4)."""
+    interconnects — docs/perf_notes.md round 4).
+
+    Cancellation-safe: if the consumer abandons the generator early
+    (SIGTERM break, a raising step), the producer is signalled and
+    exits instead of blocking in q.put() holding device batches."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+    cancelled = threading.Event()
 
     def run():
         try:
             for item in batch_iter:
-                q.put(place(item))
+                placed = place(item)
+                while not cancelled.is_set():
+                    try:
+                        q.put(placed, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    return
+                del placed
             q.put(stop)
         except BaseException as e:  # noqa: BLE001 — surface in consumer
-            q.put(e)
+            if not cancelled.is_set():
+                q.put(e)
 
     threading.Thread(target=run, daemon=True,
                      name="train-batch-prefetch").start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancelled.set()
+        while not q.empty():     # release any buffered device batches
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def state_params_hash(state: train_mod.TrainState) -> str:
@@ -245,7 +268,8 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                 params_d=load_pretrained_d(pretrain_d, cfg.version))
     if os.path.isdir(latest):
         state = load_checkpoint(latest, state)
-        start_epoch = int(np.asarray(state.step)) // max(len(dataset) // max(batch_size, 1), 1) + 1
+        steps_per_epoch = max(len(dataset) // max(batch_size * n_dev, 1), 1)
+        start_epoch = int(np.asarray(state.step)) // steps_per_epoch + 1
         logger.info(tr("save_checkpoint", checkpoint_path=latest,
                        checkpoint_dict=start_epoch - 1))
         if os.environ.get("RVC_TPU_RESUME_HASH"):
@@ -269,7 +293,14 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
         logger.warning(tr("sigterm_save"))
         stop["now"] = True
 
-    old_handler = signal.signal(signal.SIGTERM, _sigterm)
+    import threading as _threading
+
+    on_main = _threading.current_thread() is _threading.main_thread()
+    # signal.signal raises ValueError off the main thread (the web UI
+    # runs training jobs in a worker thread); preemption tolerance is a
+    # process-level concern, so only the main thread registers
+    old_handler = (signal.signal(signal.SIGTERM, _sigterm)
+                   if on_main else None)
 
     rng = jax.random.PRNGKey(cfg.train.seed + 777)
     try:
@@ -351,7 +382,8 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
             if stop["now"]:
                 break
     finally:
-        signal.signal(signal.SIGTERM, old_handler)
+        if on_main:
+            signal.signal(signal.SIGTERM, old_handler)
         if tb is not None:
             tb.close()
     return state
