@@ -101,6 +101,25 @@ def test_train_loop_end_to_end(tmp_path, monkeypatch):
                    save_every_epoch=1, mesh=mesh)
     assert int(np.asarray(state2.step)) > step1
 
+    # off-main-thread resume (the web UI runs training jobs in a worker
+    # thread; r4 regression: signal.signal raised ValueError there)
+    import threading
+
+    result = {}
+
+    def run_in_thread():
+        try:
+            result["state"] = train(exp, CFG, total_epochs=3, batch_size=2,
+                                    save_every_epoch=1, mesh=mesh)
+        except BaseException as e:  # noqa: BLE001
+            result["error"] = e
+
+    th = threading.Thread(target=run_in_thread)
+    th.start()
+    th.join(timeout=600)
+    assert "error" not in result, result.get("error")
+    assert int(np.asarray(result["state"].step)) > int(np.asarray(state2.step))
+
 
 def test_overtraining_detector_matches_reference_semantics():
     """G+D EMA histories, window checks (G eps 0.01, D window 2x with
