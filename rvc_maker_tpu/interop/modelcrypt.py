@@ -56,8 +56,16 @@ def _looks_plain(data: bytes) -> bool:
     if data[:1] == b"\x80":                     # bare pickle protocol 2+
         return True
     # ONNX pb: field 1 (ir_version) varint — accept any single-byte varint
-    # value (ir_version 1-127 covers all released and future versions)
-    if data[:1] == b"\x08" and len(data) > 1 and data[1] < 0x80:
+    # value (ir_version 1-127 covers all released and future versions),
+    # then require the NEXT byte to be a valid ModelProto field tag
+    # (producer_name/version, domain, model_version, doc_string, graph,
+    # opset_import, metadata_props...).  Without this second token check
+    # ~1/512 of random ciphertexts would classify as "plain ONNX" and be
+    # returned undecrypted, failing later with an opaque parse error.
+    _MODELPROTO_TAGS = (0x12, 0x1a, 0x22, 0x28, 0x32, 0x3a, 0x42, 0x72,
+                        0xa2)  # 0xa2 = first byte of field-20 training_info
+    if (data[:1] == b"\x08" and len(data) > 2 and data[1] < 0x80
+            and data[2] in _MODELPROTO_TAGS):
         return True
     return False
 

@@ -82,7 +82,18 @@ def conv_frontend(p: Params, source, lengths=None):
     return x
 
 
-def _self_attention(lp: Params, x, attn_bias):
+def _qlin(x, c, use_int8: bool):
+    """linear() or its W8A8 int8 twin (per-token activation scales;
+    w_q/w_scale attached by ops.int8_conv.prequantize_hubert)."""
+    if use_int8:
+        from ..ops.int8_conv import linear_w8a8
+
+        return linear_w8a8(x, c["w"], c.get("b"), w_q=c.get("w_q"),
+                           w_scale=c.get("w_scale"))
+    return linear(x, c["w"], c.get("b"))
+
+
+def _self_attention(lp: Params, x, attn_bias, use_int8: bool = False):
     """fairseq MultiheadAttention (self-attention, eval mode).
 
     x: (B, T, C); attn_bias: (B, 1, 1, T) additive or None.
@@ -90,9 +101,9 @@ def _self_attention(lp: Params, x, attn_bias):
     b, t, c = x.shape
     h = N_HEADS
     d = c // h
-    q = linear(x, lp["q"]["w"], lp["q"]["b"]) * (d ** -0.5)
-    k = linear(x, lp["k"]["w"], lp["k"]["b"])
-    v = linear(x, lp["v"]["w"], lp["v"]["b"])
+    q = _qlin(x, lp["q"], use_int8) * (d ** -0.5)
+    k = _qlin(x, lp["k"], use_int8)
+    v = _qlin(x, lp["v"], use_int8)
     q = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
@@ -103,24 +114,23 @@ def _self_attention(lp: Params, x, attn_bias):
     p_attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-    return linear(out, lp["o"]["w"], lp["o"]["b"])
+    return _qlin(out, lp["o"], use_int8)
 
 
-def _encoder_layer(lp: Params, x, attn_bias):
+def _encoder_layer(lp: Params, x, attn_bias, use_int8: bool = False):
     """Post-LN transformer layer (layer_norm_first=False branch,
     reference fairseq.py:806-812)."""
     r = x
-    y = _self_attention(lp["attn"], x, attn_bias)
+    y = _self_attention(lp["attn"], x, attn_bias, use_int8)
     x = layer_norm(r + y, lp["ln1"]["gamma"], lp["ln1"]["beta"])
     r = x
-    y = linear(_gelu(linear(x, lp["fc1"]["w"], lp["fc1"]["b"])),
-               lp["fc2"]["w"], lp["fc2"]["b"])
+    y = _qlin(_gelu(_qlin(x, lp["fc1"], use_int8)), lp["fc2"], use_int8)
     x = layer_norm(r + y, lp["ln2"]["gamma"], lp["ln2"]["beta"])
     return x
 
 
 def extract_features(params: Params, source, lengths=None, *,
-                     output_layer: int = 12):
+                     output_layer: int = 12, use_int8: bool = False):
     """source: (B, L) 16 kHz audio; lengths: (B,) valid samples or None.
 
     Returns (features (B, T, C), frame_lengths (B,)): C = 768 raw
@@ -170,7 +180,7 @@ def extract_features(params: Params, source, lengths=None, *,
     layers = jax.tree_util.tree_map(lambda a: a[:output_layer], params["layers"])
 
     def step(carry, lp):
-        return _encoder_layer(lp, carry, attn_bias), None
+        return _encoder_layer(lp, carry, attn_bias, use_int8), None
 
     x, _ = jax.lax.scan(step, x, layers)
     if pad_t:

@@ -46,6 +46,15 @@ def int8_enabled(dtype) -> bool:
             and dtype == jnp.bfloat16)
 
 
+def int8_scope() -> frozenset:
+    """Which stages RVC_TPU_INT8=1 quantizes.  Default: all of them;
+    RVC_TPU_INT8_SCOPE=decode,hubert,rmvpe subsets for A/B isolation."""
+    s = os.environ.get("RVC_TPU_INT8_SCOPE", "all").strip()
+    if s in ("", "all"):
+        return frozenset({"decode", "hubert", "rmvpe"})
+    return frozenset(x.strip() for x in s.split(",") if x.strip())
+
+
 def quantize_weight(w):
     """(K, Cin, Cout) float -> (int8 weights, (Cout,) float32 scales)."""
     w = w.astype(jnp.float32)
@@ -71,9 +80,10 @@ class Int8Ctx:
     """
 
     def __init__(self, mode: str = "dynamic", scales=None, sigs=None):
-        assert mode in ("dynamic", "calibrate", "static"), mode
-        if mode == "static":
-            assert scales is not None
+        if mode not in ("dynamic", "calibrate", "static"):
+            raise ValueError(f"unknown Int8Ctx mode {mode!r}")
+        if mode == "static" and scales is None:
+            raise ValueError("static Int8Ctx requires calibrated scales")
         self.mode = mode
         self.scales = scales
         self.sigs = list(sigs) if sigs is not None else None
@@ -104,10 +114,14 @@ class Int8Ctx:
         i = self._i
         self._i += 1
         if self.mode == "static":
-            if self.sigs is not None:
-                assert i < len(self.sigs) and self.sigs[i] == sig, (
+            # hard error (not assert: stripped under python -O) — a
+            # divergent trace applying the wrong per-site scale must fail
+            # loudly, as the class docstring promises
+            if self.sigs is not None and (
+                    i >= len(self.sigs) or self.sigs[i] != sig):
+                raise ValueError(
                     f"int8 site {i} signature {sig} != calibrated "
-                    f"{self.sigs[i] if self.sigs and i < len(self.sigs) else None}")
+                    f"{self.sigs[i] if i < len(self.sigs) else '<missing>'}")
             a_scale = jnp.float32(self.scales[i])
         else:
             a_max = jnp.max(jnp.abs(x.astype(jnp.float32)))
@@ -177,6 +191,73 @@ def conv1d_w8a8(x, w, b=None, *, dilation: int = 1, padding: int = 0,
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def quantize_linear_weight(w):
+    """(..., Cin, Cout) float -> (int8 weights, (..., Cout) f32 scales).
+
+    Leading axes pass through untouched, so HuBERT's lax.scan-stacked
+    layer weights (n_layers, Cin, Cout) quantize per-layer-per-column in
+    one call."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale[..., None, :]),
+                   -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def linear_w8a8(x, w, b=None, *, w_q=None, w_scale=None):
+    """Drop-in for ops.nn.linear with W8A8 int8 quantization.
+
+    x: (..., Cin); w: (Cin, Cout).  Activations quantize with PER-TOKEN
+    (last-axis amax) scales — the standard transformer recipe: per-tensor
+    scales clip activation-outlier tokens, per-token scales track them at
+    the cost of one cheap fused row-max.  Inside a lax.scan over layers
+    the dynamic scales are automatically per-layer-correct, so no
+    calibration pass is needed (unlike the decode convs, whose low
+    arithmetic intensity made the extra amax pass worth baking away)."""
+    out_dtype = x.dtype
+    if w_q is None or w_scale is None:
+        w_q, w_scale = quantize_linear_weight(w)
+    a_max = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(a_max, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                   -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (a_scale * w_scale)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def prequantize_hubert(params):
+    """Attach w_q/w_scale to the six transformer matmuls of a HuBERT
+    param tree (stacked layer axis preserved) — one-time at pipeline
+    construction, mirroring prequantize_decode."""
+    if not isinstance(params, dict) or "layers" not in params:
+        return params
+    params = dict(params)
+    layers = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in params["layers"].items()}
+    if isinstance(layers.get("attn"), dict):
+        layers["attn"] = {k: (dict(v) if isinstance(v, dict) else v)
+                          for k, v in layers["attn"].items()}
+        for name in ("q", "k", "v", "o"):
+            c = layers["attn"].get(name)
+            if isinstance(c, dict) and "w" in c:
+                c["w_q"], c["w_scale"] = quantize_linear_weight(
+                    jnp.asarray(c["w"]))
+    for name in ("fc1", "fc2"):
+        c = layers.get(name)
+        if isinstance(c, dict) and "w" in c:
+            c = layers[name] = dict(c)
+            c["w_q"], c["w_scale"] = quantize_linear_weight(
+                jnp.asarray(c["w"]))
+    params["layers"] = layers
+    return params
 
 
 def calibration_scales(collected, sigs) -> tuple[np.ndarray, list]:

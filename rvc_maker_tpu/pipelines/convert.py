@@ -97,6 +97,12 @@ class ConvertPipeline:
         batches shard over the 'data' axis and each jitted stage runs
         SPMD across the mesh (chunks-as-batch data parallelism,
         SURVEY.md §5.7; BASELINE config 5)."""
+        # persistent compile cache BEFORE the first jit: a fresh process
+        # replays prior compiles from disk instead of paying the 30-50 s
+        # cold XLA compile (productized r5; benches used to env-inject it)
+        from ..utils.warmup import enable_compilation_cache
+
+        enable_compilation_cache()
         self.rmvpe_microbatch = rmvpe_microbatch
         self.mesh = mesh
         self._n_mesh = 1
@@ -109,13 +115,20 @@ class ConvertPipeline:
         # fused Pallas resblocks in the NSF decode (auto: on for TPU;
         # RVC_TPU_PALLAS overrides — see synthesizer.use_pallas_default)
         from ..models.synthesizer import use_pallas_default
-        from ..ops.int8_conv import int8_enabled
+        from ..ops.int8_conv import int8_enabled, int8_scope
 
         self.use_pallas = (use_pallas_default() if use_pallas is None
                            else bool(use_pallas))
-        # W8A8 decode is INFERENCE-ONLY (zero-gradient rounding): the
-        # pipeline is the sole place the flag activates
-        self.use_int8 = int8_enabled(compute_dtype)
+        # W8A8 is INFERENCE-ONLY (zero-gradient rounding): the pipeline
+        # is the sole place the flag activates.  Scope splits the flag
+        # per stage: "decode" = NSF resblock convs (calibrated static
+        # scales), "hubert" = transformer matmuls (per-token dynamic
+        # scales), "rmvpe" = U-Net convs.
+        _i8 = int8_enabled(compute_dtype)
+        _scope = int8_scope()
+        self.use_int8 = _i8 and "decode" in _scope
+        self.use_int8_hubert = _i8 and "hubert" in _scope
+        self.use_int8_rmvpe = _i8 and "rmvpe" in _scope
         if mesh is not None:
             # pallas_call needs explicit partitioning rules under pjit;
             # the mesh path stays on the XLA convs (single-chip keeps
@@ -155,6 +168,13 @@ class ConvertPipeline:
         self.cfg = model_cfg
         self.hubert_params = _prep(hubert_params)
         self.version = version
+        if (self.use_int8_hubert
+                and not hasattr(self.hubert_params, "graph")
+                and isinstance(self.hubert_params, dict)):
+            from ..ops.int8_conv import prequantize_hubert
+
+            self.hubert_params = jax.device_put(
+                jax.jit(prequantize_hubert)(self.hubert_params))
         self.rmvpe_params = _prep(rmvpe_params)
         self.fcpe_params = _prep(fcpe_params)
         # crepe decodes on host (Viterbi); params stay fp32 for parity
@@ -189,45 +209,140 @@ class ConvertPipeline:
                 # escaped tracers on every future trace
                 self.use_int8 = Int8Ctx("dynamic")
 
-    def _int8_calibrate(self) -> None:
-        """Record per-site activation scales on a voiced calibration batch
-        (2 x 1 s tones with vibrato through the real f0+features+synth
-        path), then switch self.use_int8 to a static-scale Int8Ctx."""
+    @staticmethod
+    def _calibration_audio() -> np.ndarray:
+        """(2, 1 s) speech-like calibration battery.
+
+        Per-site activation ranges depend on the INPUT's spectral shape,
+        not just its level — pure tones under-estimate amax on sites fed
+        by broadband/transient content (advisor r4 finding).  Window 1 is
+        a glottal-pulse train (rich harmonics, speech crest factor) with
+        a 120->260 Hz pitch glide plus vibrato, band-shaped by two
+        formant-like resonators; window 2 is fricative-style noise bursts
+        over a full-band chirp with click transients at 0.95 amplitude —
+        a deliberate worst case for the wideband sites.  RVC_TPU_INT8_
+        CALIB_WAV overrides with real user audio (hottest 1 s windows)."""
+        path = os.environ.get("RVC_TPU_INT8_CALIB_WAV", "")
+        if path:
+            from ..utils.audio import load_audio
+
+            wav = np.asarray(load_audio(path, SAMPLE_RATE), np.float32)
+            if wav.size < 2 * SAMPLE_RATE:
+                wav = np.pad(wav, (0, 2 * SAMPLE_RATE - wav.size))
+            win = wav[:wav.size - wav.size % SAMPLE_RATE]
+            win = win.reshape(-1, SAMPLE_RATE)
+            # the two highest-energy windows bound the site amax best
+            order = np.argsort((win ** 2).sum(axis=1))[::-1]
+            return np.ascontiguousarray(win[order[:2]])
+
+        tt = np.arange(SAMPLE_RATE) / SAMPLE_RATE
+        rng = np.random.default_rng(0)
+        # window 1: formant-shaped glottal pulses, gliding pitch + vibrato
+        f0 = 120.0 * (260.0 / 120.0) ** tt * (1 + 0.03 * np.sin(
+            2 * np.pi * 5 * tt))
+        phase = np.cumsum(f0) / SAMPLE_RATE
+        pulses = np.zeros(SAMPLE_RATE, np.float32)
+        pulses[np.nonzero(np.diff(np.floor(phase)) > 0)[0]] = 1.0
+        voiced = pulses
+        for fc, bw in ((700.0, 130.0), (1800.0, 160.0)):
+            r = np.exp(-np.pi * bw / SAMPLE_RATE)
+            b, a = [1.0], [1.0, -2 * r * np.cos(
+                2 * np.pi * fc / SAMPLE_RATE), r * r]
+            voiced = sp_signal.lfilter(b, a, voiced)
+        voiced = 0.9 * voiced / max(np.abs(voiced).max(), 1e-6)
+        # window 2: chirp + noise bursts + clicks (broadband transients)
+        chirp = sp_signal.chirp(tt, 80.0, 1.0, 6000.0).astype(np.float32)
+        burst_env = (np.sin(2 * np.pi * 4 * tt) > 0.6).astype(np.float32)
+        noise = rng.standard_normal(SAMPLE_RATE).astype(np.float32)
+        wide = 0.5 * chirp + 0.5 * burst_env * noise
+        wide[::2000] += 1.0     # click transients
+        wide = 0.95 * wide / max(np.abs(wide).max(), 1e-6)
+        return np.stack([voiced, wide]).astype(np.float32)
+
+    def _int8_scale_pass(self, audio: np.ndarray):
+        """Run a (2, 1 s) batch through the real f0+features+synth path
+        with a calibrate-mode Int8Ctx; return (per-site scales, sigs).
+        The jitted pass is cached so audits of later audio reuse it."""
         from ..ops.int8_conv import Int8Ctx, calibration_scales
 
         ctx = Int8Ctx("calibrate")
-        self.use_int8 = ctx   # _synth_raw reads this at trace time
+        prev, self.use_int8 = self.use_int8, ctx  # _synth_raw trace-time
+        try:
+            if "_int8_pass" not in self._step_cache:
+                f0_fn = self._f0_raw("yin")
+                feat_fn = self._features_raw(False)
+                synth_fn = self._synth_raw()
+                dummy_index = jnp.zeros(
+                    (1, 256 if self.version == "v1" else 768), jnp.float32)
 
-        f0_fn = self._f0_raw("yin")
-        feat_fn = self._features_raw(False)
-        synth_fn = self._synth_raw()
-        dummy_index = jnp.zeros((1, 256 if self.version == "v1" else 768),
-                                jnp.float32)
-        tt = np.arange(SAMPLE_RATE) / SAMPLE_RATE
-        vib = 1 + 0.03 * np.sin(2 * np.pi * 5 * tt)
-        audio = np.stack([
-            0.5 * np.sin(2 * np.pi * hz * np.cumsum(vib) / SAMPLE_RATE)
-            for hz in (150.0, 260.0)]).astype(np.float32)
-        lens = jnp.full((2,), audio.shape[1], jnp.int32)
+                def run(sp, hp, audio_in, lengths):
+                    f0 = f0_fn(None, audio_in, jnp.float32(0.0),
+                               jnp.float32(0.0))
+                    feats, feats0 = feat_fn(hp, dummy_index, audio_in,
+                                            lengths, jnp.float32(0.0))
+                    wav, _ = synth_fn(sp, feats, feats0, f0, lengths,
+                                      jnp.zeros((2,), jnp.int32),
+                                      jnp.float32(0.5),
+                                      jax.random.PRNGKey(0))
+                    return wav, tuple(ctx.collected)
 
-        def run(sp, hp, audio_in, lengths):
-            f0 = f0_fn(None, audio_in, jnp.float32(0.0), jnp.float32(0.0))
-            feats, feats0 = feat_fn(hp, dummy_index, audio_in, lengths,
-                                    jnp.float32(0.0))
-            wav, _ = synth_fn(sp, feats, feats0, f0, lengths,
-                              jnp.zeros((2,), jnp.int32), jnp.float32(0.5),
-                              jax.random.PRNGKey(0))
-            return wav, tuple(ctx.collected)
+                self._step_cache["_int8_pass"] = (jax.jit(run),
+                                                  ctx.collected_sigs)
+            run_jit, sigs_ref = self._step_cache["_int8_pass"]
+            sp = (None if hasattr(self.synth_params, "graph")
+                  else self.synth_params)
+            hp = (None if hasattr(self.hubert_params, "graph")
+                  else self.hubert_params)
+            lens = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
+            _, collected = run_jit(sp, hp, jnp.asarray(audio), lens)
+        finally:
+            self.use_int8 = prev
+        return calibration_scales(collected, sigs_ref)
 
-        sp = (None if hasattr(self.synth_params, "graph")
-              else self.synth_params)
-        hp = (None if hasattr(self.hubert_params, "graph")
-              else self.hubert_params)
-        _, collected = jax.jit(run)(sp, hp, jnp.asarray(audio), lens)
-        scales, sigs = calibration_scales(collected, ctx.collected_sigs)
+    def _int8_calibrate(self) -> None:
+        """Record per-site activation scales on the calibration battery
+        (or RVC_TPU_INT8_CALIB_WAV audio) through the real
+        f0+features+synth path, then switch self.use_int8 to a
+        static-scale Int8Ctx."""
+        from ..ops.int8_conv import Int8Ctx
+
+        scales, sigs = self._int8_scale_pass(self._calibration_audio())
         # from here every jitted stage traces with baked static scales
         # (calibration ran before any hot jit was created)
         self.use_int8 = Int8Ctx("static", scales, sigs)
+
+    def audit_int8_scales(self, audio: np.ndarray) -> np.ndarray:
+        """Compare real audio's per-site amax against the baked static
+        scales; log a warning for any site where the input runs hotter
+        than calibration (it would clip in int8).  Returns the per-site
+        observed/baked ratio.  RVC_TPU_INT8_AUDIT=1 runs this on the
+        first convert() input automatically."""
+        from ..ops.int8_conv import Int8Ctx
+
+        if not isinstance(self.use_int8, Int8Ctx) \
+                or self.use_int8.mode != "static":
+            raise ValueError("audit requires a calibrated static Int8Ctx")
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        n = 2 * SAMPLE_RATE
+        if audio.size < n:
+            audio = np.pad(audio, (0, n - audio.size))
+        win = audio[:audio.size - audio.size % SAMPLE_RATE]
+        win = win.reshape(-1, SAMPLE_RATE)
+        order = np.argsort((win ** 2).sum(axis=1))[::-1]
+        baked = self.use_int8
+        observed, _ = self._int8_scale_pass(
+            np.ascontiguousarray(win[order[:2]]))
+        ratio = observed / np.maximum(np.asarray(baked.scales), 1e-12)
+        hot = np.nonzero(ratio > 1.0)[0]
+        if hot.size:
+            logger.warning(
+                "int8 audit: %d/%d sites run hotter than calibration "
+                "(max ratio %.2f at site %d) — output may clip; consider "
+                "RVC_TPU_INT8_CALIB_WAV with representative audio or "
+                "RVC_TPU_INT8_DYNAMIC=1", hot.size, ratio.size,
+                float(ratio.max()), int(ratio.argmax()))
+        self.use_int8 = baked
+        return ratio
 
     # -- staged device programs ------------------------------------------
     #
@@ -324,6 +439,7 @@ class ConvertPipeline:
         if key not in self._step_cache:
             version = self.version
             cdtype = self.compute_dtype
+            i8_hubert = self.use_int8_hubert
             onnx_emb = (self.hubert_params
                         if hasattr(self.hubert_params, "graph") else None)
 
@@ -339,7 +455,8 @@ class ConvertPipeline:
                 else:
                     feats, _ = hubert_mod.extract_features(
                         hubert_params, audio, lengths,
-                        output_layer=12 if version == "v2" else 9)
+                        output_layer=12 if version == "v2" else 9,
+                        use_int8=i8_hubert)
                     if version == "v1":
                         feats = hubert_mod.final_proj(hubert_params, feats)
                 feats0 = feats
@@ -803,6 +920,12 @@ class ConvertPipeline:
         """One utterance end-to-end with chunking + padding semantics of
         the reference (convert.py:388-458). Returns waveform at model sr."""
         s = settings
+        if (os.environ.get("RVC_TPU_INT8_AUDIT", "0") == "1"
+                and not getattr(self, "_int8_audited", False)
+                and getattr(self.use_int8, "mode", None) == "static"):
+            # one-shot clip audit of the real input vs the baked scales
+            self._int8_audited = True
+            self.audit_int8_scales(audio16k)
         tgt_sr = self.cfg.sr
         t_pad = SAMPLE_RATE * s.x_pad
         t_pad_tgt = tgt_sr * s.x_pad

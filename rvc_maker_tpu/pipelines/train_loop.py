@@ -217,7 +217,10 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
     inference weights; overtraining_* mirror train.py:900-953;
     save_every_weights=False exports inference weights only at the end
     (reference --save_every_weights)."""
-    dist_mod.ensure_initialized()
+    dist_mod.ensure_initialized()   # BEFORE any backend touch
+    from ..utils.warmup import enable_compilation_cache
+
+    enable_compilation_cache()   # fresh processes replay prior compiles
     rank, world = dist_mod.process_index(), dist_mod.process_count()
     primary = rank == 0
     if mesh is None:

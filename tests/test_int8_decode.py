@@ -141,3 +141,104 @@ def test_pipeline_threads_int8(monkeypatch):
     # fp32 pipeline ignores the env flag entirely
     fp32 = ConvertPipeline(synth_params, cfg, hubert_params, version="v2")
     assert fp32.use_int8 is False
+
+
+def test_int8_audit_flags_hot_input(monkeypatch, caplog):
+    """audit_int8_scales compares real input amax against the baked
+    calibration scales and warns when the input runs hotter (advisor r4:
+    silent int8 clipping)."""
+    import logging
+
+    from rvc_maker_tpu.models import hubert as hubert_mod
+    from rvc_maker_tpu.pipelines.convert import (ConvertPipeline,
+                                                 ConvertSettings)
+
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, text_enc_hidden_dim=768)
+    synth_params = syn.init_params(jax.random.PRNGKey(0), cfg)
+    hubert_params = hubert_mod.init_params(jax.random.PRNGKey(1), n_layers=2)
+    monkeypatch.setenv("RVC_TPU_INT8", "1")
+    pipe = ConvertPipeline(synth_params, cfg, hubert_params, version="v2",
+                           compute_dtype=jnp.bfloat16)
+    assert pipe.use_int8.mode == "static"
+    n_sites = len(pipe.use_int8.scales)
+
+    t = np.arange(16000) / 16000
+    quiet = (0.05 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ratio = pipe.audit_int8_scales(quiet)
+    assert ratio.shape == (n_sites,)
+    assert np.isfinite(ratio).all() and (ratio > 0).all()
+    # the audit must not clobber the baked static ctx
+    assert pipe.use_int8.mode == "static"
+
+    # ~20x hotter than the calibration battery: some site must exceed
+    rs = np.random.RandomState(0)
+    loud = np.clip(rs.randn(32000) * 8.0, -20, 20).astype(np.float32)
+    with caplog.at_level(logging.WARNING,
+                         logger="rvc_maker_tpu.pipelines.convert"):
+        ratio2 = pipe.audit_int8_scales(loud)
+    assert (ratio2 > 1.0).any()
+    assert any("int8 audit" in r.message for r in caplog.records)
+
+    # RVC_TPU_INT8_AUDIT=1 wires the audit into the first utterance
+    monkeypatch.setenv("RVC_TPU_INT8_AUDIT", "1")
+    s = ConvertSettings(f0_method="yin", index_rate=0.0, deterministic=True)
+    pipe.convert_utterance(quiet, 0, s)
+    assert pipe._int8_audited
+
+
+def test_linear_w8a8_close_to_fp32():
+    from rvc_maker_tpu.ops.int8_conv import linear_w8a8, quantize_linear_weight
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(4, 17, 64).astype(np.float32))
+    w = jnp.asarray((rs.randn(64, 96) * 0.1).astype(np.float32))
+    b = jnp.asarray(rs.randn(96).astype(np.float32) * 0.01)
+    ref = np.asarray(x @ w + b)
+    got = np.asarray(linear_w8a8(x, w, b))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+    # stacked (scan-layout) weights quantize per layer
+    ws = jnp.stack([w, 3 * w])
+    wq, sc = quantize_linear_weight(ws)
+    assert wq.shape == ws.shape and sc.shape == (2, 96)
+    np.testing.assert_allclose(np.asarray(sc[1]), 3 * np.asarray(sc[0]),
+                               rtol=1e-5)
+
+
+def test_int8_hubert_features_close_and_scoped(monkeypatch):
+    """RVC_TPU_INT8 with hubert scope quantizes the transformer matmuls:
+    features stay close to bf16 and the scope flag isolates stages."""
+    from rvc_maker_tpu.models import hubert as hubert_mod
+    from rvc_maker_tpu.ops.int8_conv import prequantize_hubert
+    from rvc_maker_tpu.pipelines.convert import ConvertPipeline
+
+    params = hubert_mod.init_params(jax.random.PRNGKey(2), n_layers=2)
+    rs = np.random.RandomState(5)
+    audio = jnp.asarray((rs.randn(2, 16000) * 0.1).astype(np.float32))
+    ref, _ = hubert_mod.extract_features(params, audio, output_layer=2)
+    qp = prequantize_hubert(params)
+    got, _ = hubert_mod.extract_features(qp, audio, output_layer=2,
+                                         use_int8=True)
+    a, b = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 0.05, rel
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+    import dataclasses
+    cfg = dataclasses.replace(CFG, text_enc_hidden_dim=768)
+    synth_params = syn.init_params(jax.random.PRNGKey(0), cfg)
+    monkeypatch.setenv("RVC_TPU_INT8", "1")
+    monkeypatch.setenv("RVC_TPU_INT8_SCOPE", "hubert")
+    pipe = ConvertPipeline(synth_params, cfg, params, version="v2",
+                           compute_dtype=jnp.bfloat16)
+    assert pipe.use_int8 is False          # decode excluded by scope
+    assert pipe.use_int8_hubert is True
+    assert pipe.hubert_params["layers"]["fc1"]["w_q"].dtype == jnp.int8
+    monkeypatch.setenv("RVC_TPU_INT8_SCOPE", "decode")
+    pipe2 = ConvertPipeline(synth_params, cfg, params, version="v2",
+                            compute_dtype=jnp.bfloat16)
+    assert pipe2.use_int8_hubert is False
+    assert bool(pipe2.use_int8) or hasattr(pipe2.use_int8, "mode")

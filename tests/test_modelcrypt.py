@@ -124,3 +124,28 @@ def test_onnx_graph_loads_encrypted(tmp_path):
     out_enc = OnnxGraph(str(enc_path)).run({"x": x})
     np.testing.assert_array_equal(np.asarray(out_plain[0]),
                                   np.asarray(out_enc[0]))
+
+
+def test_looks_plain_onnx_requires_second_field_tag():
+    """Advisor r4: first-byte-0x08 alone classifies ~1/512 of random
+    ciphertexts as plain ONNX; the sniffer must also see a valid
+    ModelProto field tag after the ir_version varint."""
+    from rvc_maker_tpu.interop.modelcrypt import _looks_plain
+
+    # real-world ONNX header: ir_version=8 then producer_name (0x12)
+    assert _looks_plain(b"\x08\x08\x12\x04onnx" + b"\0" * 16)
+    # graph field straight after ir_version
+    assert _looks_plain(b"\x08\x07\x3a\x02\x0a\x00" + b"\0" * 16)
+    # 0x08 followed by a varint but then garbage: NOT plain
+    assert not _looks_plain(b"\x08\x08\xff\xfe" + b"\0" * 16)
+    assert not _looks_plain(b"\x08\x08\x00\x00" + b"\0" * 16)
+    # an encrypted blob that starts 0x08 <small> <junk> now decrypts
+    from rvc_maker_tpu.interop.modelcrypt import (encrypt_model_bytes,
+                                                  maybe_decrypt)
+    import pickle
+
+    plain = pickle.dumps({"k": 1})
+    blob = encrypt_model_bytes(plain, iv=b"\x08\x05\x99" + b"\x01" * 13)
+    # iv is the first 16 bytes of the file: crafted to start 0x08 0x05 0x99
+    assert blob[:2] == b"\x08\x05" and not _looks_plain(blob)
+    assert maybe_decrypt(blob) == plain

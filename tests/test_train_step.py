@@ -141,3 +141,30 @@ def test_bf16_remat_composes(state):
                                              remat=True, bf16=True))
     s, m = step(state, batch, rng)
     assert np.isfinite(float(m["loss_g"])) and np.isfinite(float(m["loss_d"]))
+
+
+@pytest.mark.parametrize("bf16", [False, True])
+def test_share_fwd_matches_legacy_two_forward(state, bf16):
+    """The default shared-forward step (jax.vjp, share_fwd=True) must be
+    bit-identical to the legacy two-forward path for metrics AND updated
+    params — advisor r4: a future edit to either branch could silently
+    diverge the default training path."""
+    batch = _batch(b=2, seed=11)
+    rng = jax.random.PRNGKey(19)
+    shared = jax.jit(train_mod.make_train_step(
+        CFG, disc_width_div=16, bf16=bf16, share_fwd=True))
+    legacy = jax.jit(train_mod.make_train_step(
+        CFG, disc_width_div=16, bf16=bf16, share_fwd=False))
+    s1, m1 = shared(state, batch, rng)
+    s2, m2 = legacy(state, batch, rng)
+    for k in sorted(set(m1) & set(m2)):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params_g),
+                    jax.tree_util.tree_leaves(s2.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params_d),
+                    jax.tree_util.tree_leaves(s2.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
