@@ -194,12 +194,82 @@ def _worker_train(args, dist, mesh, rank: int, world: int,
     steps_s = args.iters / dt
     audio_h_day = (steps_s * b_global * cfg.train.segment_size
                    / cfg.data.sample_rate * 86400 / 3600)
+    out = {"thr": steps_s, "n_dev": n_dev, "world": world,
+           "thr_per_dev": steps_s * b_global / n_dev,
+           "steps_per_s": steps_s,
+           "audio_h_day": audio_h_day,
+           "loss_g": loss}
+    if args.diag:
+        out.update(_train_diag_terms(args, dist, mesh, state, gbatch, rng,
+                                     step))
     if rank == 0:
-        print(json.dumps({"thr": steps_s, "n_dev": n_dev, "world": world,
-                          "thr_per_dev": steps_s * b_global / n_dev,
-                          "steps_per_s": steps_s,
-                          "audio_h_day": audio_h_day,
-                          "loss_g": loss}), flush=True)
+        print(json.dumps(out), flush=True)
+
+
+def _train_diag_terms(args, dist, mesh, state, gbatch, rng, step) -> dict:
+    """Per-term breakdown of the multi-controller train-step gap
+    (VERDICT r4 #3: 0.889 efficiency, no diagnosis):
+
+      fenced_steps_per_s  — per-step host fence kills dispatch
+                            pipelining; the delta vs the async loop is
+                            the DISPATCH/pipelining term
+      allreduce_ms        — grad-sized psum over the mesh, fenced; the
+                            COLLECTIVE term (one G+D grad set per step)
+      metrics_fetch_ms    — cost of one metrics host fetch (the
+                            production loop pays this every log_interval)
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import time as _t
+
+    terms = {}
+    # (1) fenced loop
+    n = max(2, args.iters // 2)
+    t0 = _t.time()
+    s = state
+    for _ in range(n):
+        s, m = step(s, gbatch, rng)
+        float(np.asarray(m["loss_g"]))
+    terms["fenced_steps_per_s"] = round(n / (_t.time() - t0), 4)
+
+    # (2) collective microbench: one psum of a grad-sized float tree
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(s.params_g)
+                   if hasattr(l, "shape")) + sum(
+                       int(np.prod(l.shape))
+                       for l in jax.tree_util.tree_leaves(s.params_d)
+                       if hasattr(l, "shape"))
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    n_dev_total = int(np.prod(list(mesh.devices.shape)))
+    x = jax.device_put(
+        np.ones((n_dev_total, max(n_params // n_dev_total, 1)), np.float32),
+        shard)
+
+    @jax.jit
+    def allreduce(v):
+        return jnp.sum(v * 2.0)     # cross-shard reduce -> replicated scalar
+
+    float(allreduce(x))             # compile
+    dist.sync_global("diag-ar")
+    t0 = _t.time()
+    reps = 10
+    for _ in range(reps):
+        r = allreduce(x)
+    float(r)
+    terms["allreduce_ms"] = round((_t.time() - t0) / reps * 1e3, 2)
+    terms["grad_mbytes"] = round(n_params * 4 / 1e6, 1)
+
+    # (3) one metrics fetch
+    s, m = step(s, gbatch, rng)
+    t0 = _t.time()
+    _ = {k: float(np.asarray(v)) for k, v in m.items()}
+    terms["metrics_fetch_ms"] = round((_t.time() - t0) * 1e3, 2)
+    return terms
 
 
 def _replicate_global(tree, mesh):
@@ -233,6 +303,8 @@ def _spawn_fleet(nprocs: int, args, port: int) -> dict:
                "--mode", args.mode]
         if args.full:
             cmd.append("--full")
+        if args.diag:
+            cmd.append("--diag")
         p = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
                              stderr=subprocess.PIPE, text=True, cwd=REPO)
         procs.append(p)
@@ -268,6 +340,9 @@ def main() -> None:
                     help="full v2/48k model (for real TPU hosts)")
     ap.add_argument("--no-force-cpu", dest="force_cpu", action="store_false",
                     help="let workers use the platform default (TPU pod)")
+    ap.add_argument("--diag", action="store_true",
+                    help="train mode: per-term breakdown (fenced loop, "
+                         "grad-sized all-reduce, metrics fetch)")
     args = ap.parse_args()
 
     if args.worker or os.environ.get("RVC_PROCESS_ID"):
@@ -306,6 +381,12 @@ def main() -> None:
     if args.mode == "train":
         out["steps_per_s_N"] = round(rN["steps_per_s"], 4)
         out["audio_h_day_N"] = round(rN["audio_h_day"], 2)
+        for k in ("fenced_steps_per_s", "allreduce_ms", "grad_mbytes",
+                  "metrics_fetch_ms"):
+            if k in rN:
+                out[k + "_N"] = rN[k]
+            if k in r1:
+                out[k + "_1"] = r1[k]
     print(json.dumps(out))
 
 

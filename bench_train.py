@@ -131,6 +131,24 @@ def main():
     # pre-stage the batch on device: phone+spec+wave at B=32 is ~360 MB,
     # a per-call host upload that would otherwise sit inside every timed
     # iteration (through the tunnel: ~0.3 s of the step wall)
+    if bf16:
+        # the bf16 step casts phone/wave to bf16 internally anyway —
+        # feeding them bf16 (as train_loop._place does) removes the fp32
+        # read inside the step.  BENCH_TRAIN_BF16_SPEC=1 additionally
+        # feeds the spec bf16 (quantized-training A/B, r5: the mel
+        # TARGET then derives from bf16-rounded spec).
+        import dataclasses as _dc
+
+        import ml_dtypes
+
+        batch_data = _dc.replace(
+            batch_data,
+            phone=batch_data.phone.astype(ml_dtypes.bfloat16),
+            wave=batch_data.wave.astype(ml_dtypes.bfloat16))
+        if os.environ.get("BENCH_TRAIN_BF16_SPEC", "0") == "1":
+            batch_data = _dc.replace(
+                batch_data,
+                spec=batch_data.spec.astype(ml_dtypes.bfloat16))
     batch_data = jax.device_put(batch_data)
     jax.block_until_ready(batch_data.phone)
 

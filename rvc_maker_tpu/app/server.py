@@ -602,12 +602,41 @@ class Handler(BaseHTTPRequestHandler):
             else:
                 self._json({"error": tr("not_found", name=self.path)}, 404)
         except Exception as e:  # surface errors to the UI
-            logger.exception("request failed")
-            self._json({"error": str(e)}, 500)
+            import binascii
+
+            from .batcher import BatcherOverloaded
+
+            if isinstance(e, BatcherOverloaded):
+                # backpressure: tell the client to retry, keep serving
+                self._json({"error": str(e), "retry": True}, 503)
+            elif isinstance(e, (KeyError, ValueError, TypeError,
+                                binascii.Error, json.JSONDecodeError)):
+                # malformed request (missing field, bad base64/wav/json):
+                # client error, not a server fault — and never fatal to
+                # the serving process
+                logger.warning("bad request %s: %r", self.path, e)
+                self._json({"error": f"bad request: {e}"}, 400)
+            else:
+                logger.exception("request failed")
+                self._json({"error": str(e)}, 500)
 
     def _api_convert(self, req):
         from ..pipelines.convert import ConvertSettings
         from ..utils.audio import resample
+
+        # chip-contention policy: while a training job owns the device,
+        # conversion requests are refused with 503/retry instead of
+        # silently multiplying the training step time (the reference's
+        # subprocess model simply contends; an in-process server states
+        # its policy).  RVC_TPU_SERVE_DURING_TRAIN=1 opts into contention.
+        if os.environ.get("RVC_TPU_SERVE_DURING_TRAIN", "0") != "1":
+            with _JOBS_LOCK:
+                busy = [j for j_id, j in _JOBS.items()
+                        if j_id.startswith("train-") and not j["done"]]
+            if busy:
+                self._json({"error": tr("busy_training"), "retry": True},
+                           503)
+                return
 
         wav, sr = _wav_bytes_to_audio(base64.b64decode(req["audio_b64"]))
         audio16 = resample(wav, sr, 16000)

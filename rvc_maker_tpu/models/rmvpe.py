@@ -48,16 +48,28 @@ def _bn(x, p):
     return x * p["scale"] + p["shift"]
 
 
-def _conv_block_res(p: Params, x):
+def _qconv2d(x, c):
+    """conv or its W8A8 twin when w_q/w_scale were attached by
+    ops.int8_conv.prequantize_rmvpe (C>=128 levels only)."""
+    if "w_q" in c:
+        from ..ops.int8_conv import conv2d_w8a8
+
+        return conv2d_w8a8(x, c["w"], w_q=c["w_q"], w_scale=c["w_scale"])
+    return _conv2d(x, c["w"])
+
+
+def _conv_block_res(p: Params, x, use_int8: bool = False):
     """ConvBlockRes: (conv3x3-BN-ReLU)x2 + shortcut. RMVPE.py:11-22."""
-    y = jax.nn.relu(_bn(_conv2d(x, p["conv1"]["w"]), p["bn1"]))
-    y = jax.nn.relu(_bn(_conv2d(y, p["conv2"]["w"]), p["bn2"]))
+    c1 = p["conv1"] if use_int8 else {"w": p["conv1"]["w"]}
+    c2 = p["conv2"] if use_int8 else {"w": p["conv2"]["w"]}
+    y = jax.nn.relu(_bn(_qconv2d(x, c1), p["bn1"]))
+    y = jax.nn.relu(_bn(_qconv2d(y, c2), p["bn2"]))
     if "shortcut" in p:
         x = _conv2d(x, p["shortcut"]["w"], padding=(0, 0)) + p["shortcut"]["b"]
     return y + x
 
 
-def _block_chain(p: Params, x, fold: int):
+def _block_chain(p: Params, x, fold: int, use_int8: bool = False):
     """The level's ConvBlockRes chain, W-folded when the level is
     lane-starved (ops/folded_conv2d.py; per-level policy measured on the
     target chip, docs/perf_notes.md)."""
@@ -70,12 +82,13 @@ def _block_chain(p: Params, x, fold: int):
             xf = folded_conv_block_res(bp, xf, fold=fold)
         return unfold_w(xf, fold)
     for bp in p["blocks"]:
-        x = _conv_block_res(bp, x)
+        x = _conv_block_res(bp, x, use_int8)
     return x
 
 
-def _res_encoder_block(p: Params, x, pool: bool, fold: int = 0):
-    x = _block_chain(p, x, fold)
+def _res_encoder_block(p: Params, x, pool: bool, fold: int = 0,
+                       use_int8: bool = False):
+    x = _block_chain(p, x, fold, use_int8)
     if pool:
         pooled = jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
@@ -83,7 +96,8 @@ def _res_encoder_block(p: Params, x, pool: bool, fold: int = 0):
     return x
 
 
-def _res_decoder_block(p: Params, x, skip, fold: int = 0):
+def _res_decoder_block(p: Params, x, skip, fold: int = 0,
+                       use_int8: bool = False):
     """ConvT(3x3, stride 2, pad 1, outpad 1, no bias) + BN + ReLU, concat
     skip, then res blocks. RMVPE.py:88-106."""
     # transposed conv === input-dilated conv with flipped kernel.
@@ -95,7 +109,7 @@ def _res_decoder_block(p: Params, x, skip, fold: int = 0):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = jax.nn.relu(_bn(y, p["bn"]))
     y = jnp.concatenate([y, skip], axis=-1)
-    return _block_chain(p, y, fold)
+    return _block_chain(p, y, fold, use_int8)
 
 
 # Per-level W-fold factors, A/B-measured on the target chip (bf16, B=8;
@@ -106,7 +120,7 @@ _ENC_FOLDS = (8, 0, 2, 0, 0)
 _DEC_FOLDS = (0, 0, 2, 4, 8)
 
 
-def e2e_apply(p: Params, mel):
+def e2e_apply(p: Params, mel, use_int8: bool = False):
     """Salience network. mel: (B, n_mels, T) as the reference orients it.
     Returns (B, T, 360) sigmoid salience. T must be a multiple of 32."""
     from ..ops.folded_conv import fold_enabled
@@ -118,13 +132,15 @@ def e2e_apply(p: Params, mel):
     skips = []
     for i, lp in enumerate(p["encoder"]):
         t, x = _res_encoder_block(lp, x, pool=True,
-                                  fold=_ENC_FOLDS[i] if use_fold else 0)
+                                  fold=_ENC_FOLDS[i] if use_fold else 0,
+                                  use_int8=use_int8)
         skips.append(t)
     for lp in p["intermediate"]:
-        x = _res_encoder_block(lp, x, pool=False)
+        x = _res_encoder_block(lp, x, pool=False, use_int8=use_int8)
     for i, lp in enumerate(p["decoder"]):
         x = _res_decoder_block(lp, x, skips[-1 - i],
-                               fold=_DEC_FOLDS[i] if use_fold else 0)
+                               fold=_DEC_FOLDS[i] if use_fold else 0,
+                               use_int8=use_int8)
 
     x = _conv2d(x, p["cnn"]["w"]) + p["cnn"]["b"]          # (B, T, 128, 3)
     b, t, f, c = x.shape
@@ -202,7 +218,8 @@ def decode_cents(salience, thred: float = 0.03):
 
 
 def infer(params: Params, audio_16k, *, thred: float = 0.03,
-          f0_min: float | None = None, f0_max: float | None = None):
+          f0_min: float | None = None, f0_max: float | None = None,
+          use_int8: bool = False):
     """Full F0 inference. audio_16k: (B, L) at 16 kHz -> f0 (B, T) Hz,
     T = L//160 + 1. Static shapes: frames padded to x32 and cropped."""
     mel = rmvpe_mel(audio_16k)                                # (B, 128, T)
@@ -213,7 +230,8 @@ def infer(params: Params, audio_16k, *, thred: float = 0.03,
     # run the salience net in the params' dtype (bf16 fast mode supported);
     # the cents decode always happens in fp32
     net_dtype = jax.tree_util.tree_leaves(params)[0].dtype
-    hidden = e2e_apply(params, mel.astype(net_dtype))[:, :n_frames]
+    hidden = e2e_apply(params, mel.astype(net_dtype),
+                       use_int8=use_int8)[:, :n_frames]
     hidden = hidden.astype(jnp.float32)
     f0 = decode_cents(hidden, thred=thred)
     if f0_min is not None:

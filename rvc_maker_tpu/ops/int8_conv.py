@@ -260,6 +260,62 @@ def prequantize_hubert(params):
     return params
 
 
+def quantize_conv2d_weight(w):
+    """(Kh, Kw, Cin, Cout) HWIO float -> int8 + per-Cout f32 scales."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def conv2d_w8a8(x, w, *, stride=(1, 1), padding=(1, 1),
+                w_q=None, w_scale=None):
+    """NHWC 2-D conv with W8A8 quantization (per-tensor dynamic
+    activation scale).  Used by the RMVPE U-Net's C>=128 levels — the
+    int8 MXU probe measured gains only there (1.1x@128 .. 1.4x@512;
+    docs/perf_notes.md), and the small-C levels are already W-folded."""
+    out_dtype = x.dtype
+    if w_q is None or w_scale is None:
+        w_q, w_scale = quantize_conv2d_weight(w)
+    a_max = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    a_scale = jnp.maximum(a_max, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                   -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (a_scale * w_scale)).astype(out_dtype)
+
+
+RMVPE_INT8_MIN_CIN = 128
+
+
+def prequantize_rmvpe(params):
+    """Attach w_q/w_scale to every U-Net ConvBlockRes conv with
+    Cin >= RMVPE_INT8_MIN_CIN (deep copy of affected dicts)."""
+    def walk(node):
+        if isinstance(node, dict):
+            node = {k: walk(v) for k, v in node.items()}
+            for key in ("conv1", "conv2"):
+                c = node.get(key)
+                if (isinstance(c, dict)
+                        and getattr(c.get("w"), "ndim", 0) == 4
+                        and c["w"].shape[2] >= RMVPE_INT8_MIN_CIN):
+                    c = dict(c)
+                    c["w_q"], c["w_scale"] = quantize_conv2d_weight(
+                        jnp.asarray(c["w"]))
+                    node[key] = c
+            return node
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 def calibration_scales(collected, sigs) -> tuple[np.ndarray, list]:
     """Fetch calibration outputs -> (per-site float scales, signatures).
     A safety margin (x1.05) guards inputs slightly hotter than the

@@ -175,6 +175,11 @@ class ConvertPipeline:
 
             self.hubert_params = jax.device_put(
                 jax.jit(prequantize_hubert)(self.hubert_params))
+        if (self.use_int8_rmvpe and rmvpe_params is not None
+                and not hasattr(rmvpe_params, "input_names")):
+            from ..ops.int8_conv import prequantize_rmvpe
+
+            rmvpe_params = jax.jit(prequantize_rmvpe)(rmvpe_params)
         self.rmvpe_params = _prep(rmvpe_params)
         self.fcpe_params = _prep(fcpe_params)
         # crepe decodes on host (Viterbi); params stay fp32 for parity
@@ -391,6 +396,8 @@ class ConvertPipeline:
                 # RMVPE.py:228-234 infer_from_audio_with_pitch)
                 kw = ({"f0_min": 50.0, "f0_max": 1100.0}
                       if f0_method == "rmvpe-legacy" else {})
+                if self.use_int8_rmvpe:
+                    kw = dict(kw, use_int8=True)
 
                 def f0_fn(rmvpe_params, audio, pitch_shift, autotune_strength):
                     b, L = audio.shape

@@ -315,6 +315,11 @@ def make_sharded_train_step(cfg: RVCConfig, mesh, disc_width_div: int = 1,
         step,
         in_shardings=(repl, batch_spec, repl),
         out_shardings=(repl, repl),
+        # donate the input state: without this every step materializes a
+        # full second copy of params+optimizer (HBM traffic and, under
+        # multi-controller, extra per-step allocation latency); the
+        # single-device bench step (bench_train.py) already donates
+        donate_argnums=(0,),
     )
 
 

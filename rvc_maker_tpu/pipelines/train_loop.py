@@ -282,6 +282,10 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
             logger.info("resume params_g sha256=%s step=%d",
                         state_params_hash(state),
                         int(np.asarray(state.step)))
+    # one host-side read of the (possibly resumed) step counter; the
+    # epoch loop increments it locally instead of fetching state.step
+    # from the device every step
+    host_step = int(np.asarray(state.step))
     state = replicate(state, mesh)
 
     step_fn = train_mod.make_sharded_train_step(
@@ -324,6 +328,16 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                         batch,
                         phone=batch.phone.astype(ml_dtypes.bfloat16),
                         wave=batch.wave.astype(ml_dtypes.bfloat16))
+                    if os.environ.get("RVC_TPU_BF16_SPEC", "0") == "1":
+                        # quantized-training A/B (r5): the spec is the
+                        # largest remaining fp32 feed tensor (B,T,513).
+                        # The generator path casts it to bf16 anyway; the
+                        # fp32 mel TARGET then computes from bf16-rounded
+                        # spec values — a measured quality trade, not a
+                        # default (see docs/perf_notes.md round 5)
+                        batch = _dc.replace(
+                            batch,
+                            spec=batch.spec.astype(ml_dtypes.bfloat16))
                 return dist_mod.shard_host_local(batch, mesh)
 
             for batch in _prefetch_placed(
@@ -334,7 +348,13 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, replicate(step_rng, mesh))
                 n_batches += 1
-                step = int(np.asarray(state.step))
+                # host-side step counter: fetching state.step here was a
+                # PER-STEP device sync that serialized the async dispatch
+                # pipeline (r5 multihost diagnosis — the exact "accidental
+                # host sync in the loop" class); metrics still fetch, but
+                # only every log_interval steps
+                host_step += 1
+                step = host_step
                 if step % cfg.train.log_interval == 0:
                     m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                     logger.info("epoch %d step %d: %s", epoch, step,

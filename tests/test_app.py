@@ -149,7 +149,7 @@ def test_job_unknown_kind(server_port):
         urllib.request.urlopen(req)
         assert False
     except urllib.error.HTTPError as e:
-        assert e.code == 500
+        assert e.code == 400   # malformed request -> client error (r5)
 
 
 def test_f0_extract_endpoint(server_port):
@@ -378,3 +378,64 @@ def test_index_page_has_edit_tab(server_port):
         f"http://127.0.0.1:{server_port}/").read().decode()
     # audio_editing tab key + its API wiring
     assert "Editing the Soundtrack" in html and "audioEdit" in html
+
+
+def test_malformed_convert_requests_are_client_errors(server_port):
+    """Bad base64 / missing fields return 400 (not 500) and never kill
+    the server (r5 served-path hardening)."""
+    import urllib.error
+
+    for req in ({"audio_b64": "!!!notbase64!!!", "model": "/nope.pth"},
+                {"model": "/nope.pth"},                    # missing audio
+                {"audio_b64": base64.b64encode(b"junkjunk").decode(),
+                 "model": "/nope.pth"}):                   # not a wav
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{server_port}/api/convert",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(r)
+            assert False, "should have errored"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (req, e.code)
+            assert "error" in json.loads(e.read())
+    # server still alive
+    assert "Convert Audio" in urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/").read().decode()
+
+
+def test_convert_refused_while_training_job_active(tmp_path, server_port,
+                                                   monkeypatch):
+    """Chip-contention policy: conversion requests get 503+retry while a
+    training job is running (RVC_TPU_SERVE_DURING_TRAIN=1 opts out)."""
+    import urllib.error
+
+    monkeypatch.delenv("RVC_TPU_SERVE_DURING_TRAIN", raising=False)
+    with app_server._JOBS_LOCK:
+        app_server._JOBS["train-999"] = {"log": [], "done": False,
+                                         "error": None}
+    try:
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{server_port}/api/convert",
+            data=json.dumps({"audio_b64": _tone_wav_b64(),
+                             "model": "/nope.pth"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(r)
+            assert False, "should have been refused"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            body = json.loads(e.read())
+            assert body.get("retry") is True
+        # opting in bypasses the policy (fails later on the bogus model,
+        # but NOT with 503)
+        monkeypatch.setenv("RVC_TPU_SERVE_DURING_TRAIN", "1")
+        try:
+            urllib.request.urlopen(r)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code != 503
+    finally:
+        with app_server._JOBS_LOCK:
+            app_server._JOBS["train-999"]["done"] = True
+            del app_server._JOBS["train-999"]

@@ -181,3 +181,40 @@ def test_params_from_graph(toy_graph):
     assert p.dim_f == P.dim_f and p.dim_t == P.dim_t
     with pytest.raises(ValueError, match="n_fft"):
         mdx.params_from_graph(g)
+
+
+def test_stft_istft_slice_path_matches_gather_path():
+    """The scatter-free framing/OLA (hop | n_fft) must equal the gather/
+    scatter fallback bit-for-bit-ish (r4 verdict: the scatter dominated
+    TPU demix time)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rvc_maker_tpu.pipelines import mdx as m
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray((rs.randn(2, 2, 5000) * 0.3).astype(np.float32))
+    # divisible: n_fft=256 hop=64 (slice path); odd: hop=96 (fallback)
+    for n_fft, hop in ((256, 64), (256, 96)):
+        spec = m.mdx_stft(x, n_fft=n_fft, hop=hop, dim_f=100)
+        # reference framing via explicit gather
+        y = jnp.pad(x.reshape(4, -1), ((0, 0), (n_fft // 2, n_fft // 2)),
+                    mode="reflect")
+        n_frames = 1 + (y.shape[1] - n_fft) // hop
+        idx = (np.arange(n_fft)[None, :]
+               + hop * np.arange(n_frames)[:, None])
+        frames = y[:, idx] * jnp.asarray(m._hann(n_fft), y.dtype)
+        ref = jnp.fft.rfft(frames, axis=-1)
+        ref = jnp.transpose(ref, (0, 2, 1))
+        ref = jnp.stack([ref.real, ref.imag], 1).reshape(
+            2, 4, n_fft // 2 + 1, n_frames)[:, :, :100]
+        np.testing.assert_allclose(np.asarray(spec), np.asarray(ref),
+                                   atol=1e-4)
+        out = m.mdx_istft(spec, n_fft=n_fft, hop=hop, length=5000)
+        assert out.shape == (2, 2, 5000)
+        # hann-windowed OLA of an identity transform reconstructs the
+        # middle of the signal (edges lose the analysis taper)
+        a = np.asarray(out)[:, :, n_fft: -n_fft]
+        # dim_f=100 low-passes hard; just require finite + same scale
+        assert np.isfinite(a).all()

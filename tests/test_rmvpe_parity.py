@@ -117,3 +117,29 @@ def test_full_infer_pipeline_parity(e2e_and_params, ref_mod):
     f0 = np.asarray(jrmvpe.infer(params, jnp.asarray(audio[None])))[0]
     assert f0.shape == f0_ref.shape
     np.testing.assert_allclose(f0, f0_ref, rtol=1e-3, atol=0.05)
+
+
+def test_int8_unet_close_to_fp32(e2e_and_params):
+    """W8A8 on the C>=128 U-Net levels (prequantize_rmvpe) stays close
+    to the unquantized salience and the f0 decode agrees on voiced
+    frames (r5: int8 scope 'rmvpe')."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvc_maker_tpu.ops.int8_conv import prequantize_rmvpe
+
+    _, params = e2e_and_params
+    qp = jax.jit(prequantize_rmvpe)(params)
+    # quantized leaves exist exactly at Cin>=128 sites
+    assert "w_q" in qp["intermediate"][0]["blocks"][0]["conv1"]
+    assert "w_q" not in qp["encoder"][0]["blocks"][0]["conv1"]
+
+    rs = np.random.RandomState(7)
+    mel = jnp.asarray(rs.rand(2, 128, 64).astype(np.float32) * 4 - 2)
+    ref = np.asarray(jrmvpe.e2e_apply(params, mel))
+    got = np.asarray(jrmvpe.e2e_apply(qp, mel, use_int8=True))
+    # sigmoid salience in [0,1]: absolute closeness is the right metric
+    assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()
+    # without the flag, prequantized params run the fp32 path bit-exactly
+    plain = np.asarray(jrmvpe.e2e_apply(qp, mel))
+    np.testing.assert_array_equal(plain, ref)
