@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 
 import numpy as np
 
@@ -181,9 +182,17 @@ def _graph_batch_static_one(graph) -> bool:
         return False
 
 
+_JIT_CACHE: dict = {}
+
+
 def _make_run_model(graph, p: MDXParams):
     """One jitted program: stft -> zero low bins -> model(+denoise) ->
-    istft.  graph executes inline (OnnxGraph.run is trace-friendly)."""
+    istft.  graph executes inline (OnnxGraph.run is trace-friendly).
+    Memoized per (graph, params): a fresh jit per demix call would
+    re-trace every time."""
+    key = ("run", id(graph), p)
+    if key in _JIT_CACHE:
+        return _JIT_CACHE[key]
     map_one = graph is not None and _graph_batch_static_one(graph)
 
     def apply_graph(spek):
@@ -217,7 +226,8 @@ def _make_run_model(graph, p: MDXParams):
         return mdx_istft(pred, n_fft=p.n_fft, hop=p.hop_length,
                          length=chunk)
 
-    return jax.jit(run)
+    _JIT_CACHE[key] = jax.jit(run)
+    return _JIT_CACHE[key]
 
 
 def mdx_demix(graph, mix: np.ndarray, p: MDXParams, *,
@@ -239,8 +249,6 @@ def mdx_demix(graph, mix: np.ndarray, p: MDXParams, *,
 
     step = int((1 - overlap) * chunk_size)
     total_len = mixture.shape[-1]
-    result = np.zeros((1, 2, total_len), np.float32)
-    divider = np.zeros((1, 2, total_len), np.float32)
 
     run_model = _make_run_model(None if is_match_mix else graph, p)
 
@@ -248,31 +256,54 @@ def mdx_demix(graph, mix: np.ndarray, p: MDXParams, *,
     # the TPU sees a single program instead of a host loop)
     starts = list(range(0, total_len, step))
     parts = []
-    for start in starts:
-        end = min(start + chunk_size, total_len)
-        seg = mixture[:, start:end]
-        if end - start < chunk_size:
-            seg = np.concatenate(
-                (seg, np.zeros((2, chunk_size - (end - start)), np.float32)),
-                axis=1)
-        parts.append(seg)
-    batch = jnp.asarray(np.stack(parts))                # (N, 2, chunk)
-    tar = np.asarray(run_model(batch))                  # (N, 2, chunk)
-
+    windows = np.zeros((len(starts), chunk_size), np.float32)
+    divider = np.zeros(total_len, np.float64)
     for i, start in enumerate(starts):
         end = min(start + chunk_size, total_len)
+        seg = mixture[:, start:end]
         actual = end - start
-        if overlap != 0:
-            window = np.hanning(actual).astype(np.float32)
-            result[..., start:end] += tar[i, :, :actual] * window
-            divider[..., start:end] += window
-        else:
-            result[..., start:end] += tar[i, :, :actual]
-            divider[..., start:end] += 1.0
-    tar_waves = result / np.maximum(divider, 1e-10)
-    out = tar_waves[:, :, trim:-trim].reshape(2, -1)[:, : mix.shape[-1]]
-    if not is_match_mix:
-        out = out * p.compensate
+        if actual < chunk_size:
+            seg = np.concatenate(
+                (seg, np.zeros((2, chunk_size - actual), np.float32)),
+                axis=1)
+        parts.append(seg)
+        w = (np.hanning(actual) if overlap != 0
+             else np.ones(actual)).astype(np.float32)
+        windows[i, :actual] = w
+        divider[start:end] += w
+    div = np.maximum(divider, 1e-10).astype(np.float32)
+
+    # windowed overlap-add ON DEVICE, then fetch only the final trimmed
+    # stem: the result download dominated demix wall time through the
+    # tunneled backend (measured 25-37 MB/s device->host vs a 28 ms
+    # device program; r5) — OLA on device cuts the fetch to exactly the
+    # stem bytes, and RVC_TPU_FETCH_F16=1 halves them again
+    n_keep = mix.shape[-1]
+    scale = (1.0 if is_match_mix else p.compensate)
+
+    def ola(batch_in):
+        tar = run_model(batch_in)                       # (N, 2, chunk)
+        tar = tar * jnp.asarray(windows)[:, None, :]
+        out = jnp.zeros((2, total_len), tar.dtype)
+        for i, start in enumerate(starts):
+            pad_hi = total_len - start - chunk_size
+            row = tar[i]
+            if pad_hi < 0:          # final chunk runs past the buffer
+                row = row[:, :chunk_size + pad_hi]
+                pad_hi = 0
+            out = out + jnp.pad(row, ((0, 0), (start, pad_hi)))
+        out = out / jnp.asarray(div)
+        out = out[:, trim : trim + n_keep] * scale
+        if os.environ.get("RVC_TPU_FETCH_F16", "0") == "1":
+            out = out.astype(jnp.float16)
+        return out
+
+    okey = ("ola", id(graph), p, mix.shape[-1], is_match_mix,
+            os.environ.get("RVC_TPU_FETCH_F16", "0"))
+    if okey not in _JIT_CACHE:
+        _JIT_CACHE[okey] = jax.jit(ola)
+    batch = jnp.asarray(np.stack(parts))                # (N, 2, chunk)
+    out = np.asarray(_JIT_CACHE[okey](batch)).astype(np.float32)
     return out
 
 
