@@ -374,11 +374,14 @@ def train(exp_dir: str, cfg: RVCConfig, *, total_epochs: int,
                     smoothed_value_gen=f"{detector.smoothed_gen[-1]:.3f}",
                     smoothed_value_disc=f"{detector.smoothed_disc[-1]:.3f}"))
                 stop["now"] = True    # reference done=True: save and stop
-            if (overtraining_detector and primary
-                    and epoch % save_every_epoch == 0):
+            if overtraining_detector and primary:
+                # every epoch, not just save epochs: the histories are the
+                # only epoch-resolution loss record when log_interval (200)
+                # exceeds the steps in a short run
                 detector.save_json(training_json)
-            logger.info("epoch %d done (%d batches, %.1fs)", epoch, n_batches,
-                        time.time() - t0)
+            logger.info("epoch %d done (%d batches, %.1fs) loss_g %.4f "
+                        "loss_d %.4f", epoch, n_batches, time.time() - t0,
+                        loss_g, loss_d)
             if epoch % save_every_epoch == 0 or stop["now"] or epoch == total_epochs:
                 # params are fully replicated, so only the primary writes
                 # (reference rank-0 guard, train.py:919-924); barrier keeps

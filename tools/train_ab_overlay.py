@@ -74,6 +74,21 @@ def run_arm(name: str, a, extra_env: dict) -> dict:
     for key in ("loss_g", "loss_d", "loss_mel"):
         out[key] = [float(m) for m in
                     re.findall(rf"'{key}': ([0-9.]+)", txt)]
+    # short runs never reach log_interval (200) steps — the per-epoch
+    # histories in training_data.json (overtraining detector, written
+    # every epoch) are the authoritative record there
+    tdj = os.path.join(exp, "training_data.json")
+    if os.path.exists(tdj):
+        d = json.load(open(tdj))
+        if len(d.get("loss_gen_history", [])) >= len(out["loss_g"]):
+            out["loss_g"] = [float(x) for x in d["loss_gen_history"]]
+            out["loss_d"] = [float(x) for x in d["loss_disc_history"]]
+    if not out["loss_g"]:
+        # epoch-done log lines carry G/D too
+        out["loss_g"] = [float(m) for m in
+                         re.findall(r"loss_g ([0-9.]+)", txt)]
+        out["loss_d"] = [float(m) for m in
+                         re.findall(r"loss_d ([0-9.]+)", txt)]
     if not out["loss_g"]:
         raise RuntimeError(f"arm {name}: no loss lines in {tlog}\n"
                            f"{txt[-2000:]}")
