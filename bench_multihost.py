@@ -269,6 +269,29 @@ def _train_diag_terms(args, dist, mesh, state, gbatch, rng, step) -> dict:
     t0 = _t.time()
     _ = {k: float(np.asarray(v)) for k, v in m.items()}
     terms["metrics_fetch_ms"] = round((_t.time() - t0) * 1e3, 2)
+
+    # (4) MANY-BUFFER all-reduce: same bytes as (2) but split across 256
+    # operands.  The train step's grad all-reduce is 3 combined tuple
+    # ops with ~530 operand buffers (one per param leaf); if the
+    # backend pays a fixed per-OPERAND latency (gloo does), this term
+    # — not bytes, not op count — is the multi-controller residual.
+    nbuf = 256
+    per = max(n_params // nbuf // n_dev_total, 1)
+    xs = tuple(jax.device_put(np.ones((n_dev_total, per), np.float32),
+                              shard) for _ in range(nbuf))
+
+    @jax.jit
+    def allreduce_many(vs):
+        return jnp.stack([jnp.sum(v) for v in vs])
+
+    np.asarray(allreduce_many(xs))   # compile
+    dist.sync_global("diag-ar-many")
+    t0 = _t.time()
+    for _ in range(4):
+        r = allreduce_many(xs)
+    np.asarray(r)
+    terms["allreduce_many_ms"] = round((_t.time() - t0) / 4 * 1e3, 2)
+    terms["allreduce_many_nbuf"] = nbuf
     return terms
 
 
@@ -301,6 +324,25 @@ def _spawn_fleet(nprocs: int, args, port: int) -> dict:
                "--iters", str(args.iters),
                "--batch-per-dev", str(args.batch_per_dev),
                "--mode", args.mode]
+        if getattr(args, "eigen1", False):
+            # single-threaded eigen on BOTH legs: each process's XLA
+            # intra-op pool otherwise sizes itself to ALL host cores, so
+            # an nprocs fleet on one machine runs nprocs*ncores threads
+            # on ncores cores — oversubscription that a real pod (one
+            # process per host) never sees
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " --xla_cpu_multi_thread_eigen=false")
+        if getattr(args, "pin", False):
+            # disjoint cores per worker, ALL cores for a 1-proc control
+            # leg: equal total CPU on both legs, so the efficiency
+            # isolates multi-controller overhead from core
+            # oversubscription (each real pod host owns its own CPUs)
+            ncores = os.cpu_count() or 1
+            if nprocs > 1:
+                per = max(1, ncores // nprocs)
+                lo = (pid * per) % ncores
+                cores = f"{lo}-{lo + per - 1}" if per > 1 else str(lo)
+                cmd = ["taskset", "-c", cores] + cmd
         if args.full:
             cmd.append("--full")
         if args.diag:
@@ -343,6 +385,14 @@ def main() -> None:
     ap.add_argument("--diag", action="store_true",
                     help="train mode: per-term breakdown (fenced loop, "
                          "grad-sized all-reduce, metrics fetch)")
+    ap.add_argument("--eigen1", action="store_true",
+                    help="single-threaded eigen on both legs — removes "
+                         "intra-op pool oversubscription when several "
+                         "worker processes share one machine's cores")
+    ap.add_argument("--pin", action="store_true",
+                    help="pin each worker to disjoint CPU cores (control "
+                         "leg keeps all cores) — models per-host CPUs on "
+                         "a CPU-virtualized fleet")
     args = ap.parse_args()
 
     if args.worker or os.environ.get("RVC_PROCESS_ID"):
@@ -382,7 +432,8 @@ def main() -> None:
         out["steps_per_s_N"] = round(rN["steps_per_s"], 4)
         out["audio_h_day_N"] = round(rN["audio_h_day"], 2)
         for k in ("fenced_steps_per_s", "allreduce_ms", "grad_mbytes",
-                  "metrics_fetch_ms"):
+                  "metrics_fetch_ms", "allreduce_many_ms",
+                  "allreduce_many_nbuf"):
             if k in rN:
                 out[k + "_N"] = rN[k]
             if k in r1:

@@ -614,8 +614,10 @@ class Handler(BaseHTTPRequestHandler):
                 # malformed request (missing field, bad base64/wav/json):
                 # client error, not a server fault — and never fatal to
                 # the serving process
-                logger.warning("bad request %s: %r", self.path, e)
-                self._json({"error": f"bad request: {e}"}, 400)
+                logger.warning("%s", tr("bad_request", path=self.path,
+                                        error=repr(e)))
+                self._json({"error": tr("bad_request", path=self.path,
+                                        error=str(e))}, 400)
             else:
                 logger.exception("request failed")
                 self._json({"error": str(e)}, 500)

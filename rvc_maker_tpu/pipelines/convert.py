@@ -340,12 +340,12 @@ class ConvertPipeline:
         ratio = observed / np.maximum(np.asarray(baked.scales), 1e-12)
         hot = np.nonzero(ratio > 1.0)[0]
         if hot.size:
-            logger.warning(
-                "int8 audit: %d/%d sites run hotter than calibration "
-                "(max ratio %.2f at site %d) — output may clip; consider "
-                "RVC_TPU_INT8_CALIB_WAV with representative audio or "
-                "RVC_TPU_INT8_DYNAMIC=1", hot.size, ratio.size,
-                float(ratio.max()), int(ratio.argmax()))
+            from ..utils.i18n import tr
+
+            logger.warning("%s", tr(
+                "int8_audit_hot", hot=int(hot.size), total=int(ratio.size),
+                ratio=f"{float(ratio.max()):.2f}",
+                site=int(ratio.argmax())))
         self.use_int8 = baked
         return ratio
 
