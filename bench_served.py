@@ -185,7 +185,7 @@ def main():
     srv = subprocess.Popen(
         [sys.executable, "-u", "-m", "rvc_maker_tpu.app.server",
          "--port", str(port), "--warm-model", model,
-         "--warm-buckets", f"{int(secs) + 2}"],
+         "--warm-buckets", f"{int(secs)}"],
         cwd=REPO, env=env, stdout=subprocess.DEVNULL,
         stderr=subprocess.STDOUT)
     try:

@@ -83,10 +83,13 @@ def warm_pipeline(pipe, settings=None, *, seconds=(3,), batches=(1,),
                   fetch: bool = True) -> float:
     """Precompile the fused convert program for the given bucket shapes.
 
-    seconds: utterance-bucket lengths to warm (the pipeline buckets audio
-    to whole seconds; a request of n seconds with the default x_pad=1
-    lands in the n+2 s bucket).  batches: device batch sizes to warm
-    (serving uses 1; the dynamic batcher pads to its bucket sizes).
+    seconds: utterance-bucket lengths to warm.  The pipeline buckets RAW
+    audio length to whole seconds and the x_pad reflection happens INSIDE
+    the traced program, so a request of n seconds runs the n-second
+    program: warm the request lengths themselves (verified by
+    JAX_LOG_COMPILES — a 5 s request compiles the 80000-sample fused
+    program, not 112000).  batches: device batch sizes to warm (serving
+    uses 1; the dynamic batcher pads to its bucket sizes).
 
     Runs zeros through convert_batch — same code path as traffic, so the
     in-process jit cache AND the persistent disk cache both populate.
