@@ -28,7 +28,7 @@ assert len(jax.devices()) == 8, jax.devices()
 
 # ---------------------------------------------------------------------------
 # two-lane suite: tests measured >= 5 s (full-suite --durations run,
-# 2026-08-21, 2-vCPU host) are auto-marked `slow`, so
+# re-derived 2026-08-22, 2-vCPU host) are auto-marked `slow`, so
 #     pytest -m "not slow"      finishes in ~6-8 min (the iterating lane)
 #     pytest                    runs everything (~43 min, CI / pre-land)
 # The manifest lists "file::function" (parametrized cases share their
@@ -43,13 +43,16 @@ _SLOW_TESTS = {
     "test_app.py::test_convert_whisper_endpoint",
     "test_app.py::test_export_onnx_and_onnx_convert_endpoint",
     "test_app.py::test_model_info_endpoint",
+    "test_app.py::test_precision_setting_reaches_pipeline",
     "test_app.py::test_tts_endpoint_with_conversion",
     "test_audioldm2_stack.py::test_full_stack_edit_end_to_end",
+    "test_audioldm2_stack.py::test_load_components_from_synthetic_checkpoint_dir",
     "test_audioldm2_stack.py::test_speecht5_hifigan_parity",
     "test_audioldm2_stack.py::test_stack_inversion_reconstruction_identity",
     "test_audioldm2_stack.py::test_unet_conditioning_matters",
     "test_audioldm2_stack.py::test_vae_shapes_and_scaling",
     "test_audioldm2_text.py::test_generate_language_model_matches_manual_loop",
+    "test_audioldm2_unet.py::test_attention_less_blocks_import_and_run",
     "test_audioldm2_unet.py::test_every_key_consumed_and_config_inferred",
     "test_audioldm2_unet.py::test_stream_routing",
     "test_batcher.py::test_batcher_mixed_lengths_and_sids",
@@ -77,11 +80,16 @@ _SLOW_TESTS = {
     "test_hubert_parity.py::test_conv_frontend_parity",
     "test_hubert_parity.py::test_extract_features_parity",
     "test_hubert_parity.py::test_padded_batch_matches_unpadded",
+    "test_hubert_transformers.py::test_load_transformers_file",
     "test_hubert_transformers.py::test_transformers_import_forward_parity",
+    "test_hubert_transformers.py::test_transformers_intermediate_layer",
+    "test_int8_decode.py::test_int8_audit_flags_hot_input",
     "test_int8_decode.py::test_int8_decode_quality_gate",
+    "test_int8_decode.py::test_int8_hubert_features_close_and_scoped",
     "test_int8_decode.py::test_pipeline_threads_int8",
     "test_interop_roundtrip.py::test_export_import_roundtrip",
     "test_interop_roundtrip.py::test_reference_loads_our_export",
+    "test_mdx.py::test_stft_istft_slice_path_matches_gather_path",
     "test_mesh_convert.py::test_mesh_convert_matches_single_device",
     "test_multihost.py::test_two_process_dryrun",
     "test_onnx_embedder.py::test_dynamic_feature_parity_any_length",
@@ -103,7 +111,9 @@ _SLOW_TESTS = {
     "test_production_shapes.py::test_mrf_hifigan_parity_production",
     "test_production_shapes.py::test_refinegan_parity_production",
     "test_production_shapes.py::test_train_forward_parity_production",
+    "test_rmvpe_parity.py::test_e2e_salience_parity",
     "test_rmvpe_parity.py::test_full_infer_pipeline_parity",
+    "test_rmvpe_parity.py::test_int8_unet_close_to_fp32",
     "test_scan_microbatch.py::test_host_f0_still_loops",
     "test_scan_microbatch.py::test_scan_equals_loop",
     "test_separate.py::test_chunked_apply_shapes",
@@ -114,15 +124,18 @@ _SLOW_TESTS = {
     "test_synthesizer_parity.py::test_train_forward_shapes",
     "test_tensor_parallel.py::test_tp_matches_single_device",
     "test_tensor_parallel.py::test_tp_v1_final_proj",
+    "test_train_loop.py::test_eval_sample_logging_produces_audio_and_mel",
     "test_train_loop.py::test_train_loop_end_to_end",
-    "test_train_step.py::test_remat_step_matches_plain",
-    "test_train_step.py::test_sharded_step_matches_single_device",
     "test_train_step.py::test_bf16_remat_composes",
     "test_train_step.py::test_bf16_step_tracks_fp32",
+    "test_train_step.py::test_remat_step_matches_plain",
+    "test_train_step.py::test_sharded_step_matches_single_device",
+    "test_train_step.py::test_share_fwd_matches_legacy_two_forward",
     "test_train_step.py::test_single_device_step_runs_and_updates",
     "test_validate_real_weights.py::test_validator_end_to_end",
     "test_vocoder_training.py::test_alt_vocoder_export_import_roundtrip",
     "test_vocoder_training.py::test_train_step_alt_vocoder",
+    "test_vocoder_training.py::test_train_step_f0less",
     "test_vocoders_parity.py::test_interp_linear_matches_torch",
     "test_vocoders_parity.py::test_mrf_hifigan_parity",
     "test_vocoders_parity.py::test_refinegan_parity",
