@@ -299,7 +299,14 @@ def _with_lr(opt_state, lr):
 def make_sharded_train_step(cfg: RVCConfig, mesh, disc_width_div: int = 1,
                             remat: bool = False, bf16: bool = False):
     """jit the train step with batch sharded over 'data', params/opt
-    replicated. XLA inserts the grad all-reduce (SURVEY.md §2.8)."""
+    replicated. XLA inserts the grad all-reduce (SURVEY.md §2.8).
+
+    The returned step DONATES its input state (arg 0): the caller must
+    rebind (``state, m = step(state, ...)``) and must not reuse the old
+    state afterwards.  Beware that on the CPU backend ``device_put`` can
+    alias the source buffers, so donating a replicated state can also
+    invalidate the pre-replication arrays — pass a copy if you need to
+    keep them (tests/test_train_step.py does)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     step = make_train_step(cfg, disc_width_div, remat, bf16)

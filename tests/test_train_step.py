@@ -78,7 +78,12 @@ def test_sharded_step_matches_single_device(state):
 
     mesh = data_mesh()
     stepN = train_mod.make_sharded_train_step(CFG, mesh, disc_width_div=16)
-    sh_state, sh_metrics = stepN(replicate(state, mesh),
+    # the sharded step DONATES its state, and CPU device_put can alias
+    # the source buffers — donate a private copy so the module-scoped
+    # fixture survives for the remaining tests
+    state_copy = jax.tree_util.tree_map(
+        lambda a: jnp.array(np.asarray(a)), state)
+    sh_state, sh_metrics = stepN(replicate(state_copy, mesh),
                                  shard_leading(batch, mesh),
                                  replicate(rng, mesh))
     np.testing.assert_allclose(float(sh_metrics["loss_g"]),
