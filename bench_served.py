@@ -198,16 +198,23 @@ def main():
                 break
             except Exception:  # noqa: BLE001
                 time.sleep(0.5)
-        payload = {"audio_b64": tone_b64(secs), "model": model,
-                   "f0_method": "yin", "index_rate": 0.0}
-        t0 = time.time()
-        r = post(port, "/api/convert", payload)
-        first = time.time() - t0
-        assert "audio_b64" in r, r
-        log(f"fresh warmed process: ready in {ready:.1f}s, first request "
-            f"{first:.3f}s")
-        out["fresh_process_ready_s"] = round(ready, 1)
-        out["fresh_process_first_request_s"] = round(first, 3)
+        if ready is None:
+            # warmed server never came up within the wait budget — keep
+            # the already-measured phases instead of crashing the print
+            log("fresh warmed process: NOT ready within the wait budget; "
+                "skipping the first-request measurement")
+            out["fresh_process_ready_s"] = None
+        else:
+            payload = {"audio_b64": tone_b64(secs), "model": model,
+                       "f0_method": "yin", "index_rate": 0.0}
+            t0 = time.time()
+            r = post(port, "/api/convert", payload)
+            first = time.time() - t0
+            assert "audio_b64" in r, r
+            log(f"fresh warmed process: ready in {ready:.1f}s, "
+                f"first request {first:.3f}s")
+            out["fresh_process_ready_s"] = round(ready, 1)
+            out["fresh_process_first_request_s"] = round(first, 3)
     finally:
         srv.terminate()
         try:

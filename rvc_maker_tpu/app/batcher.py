@@ -171,6 +171,9 @@ class ConvertBatcher:
                 b_pad = 1
                 while b_pad < b:
                     b_pad *= 2
+                # a non-power-of-two max_batch must stay the hard cap on
+                # device batch (memory budget), not get rounded past
+                b_pad = min(b_pad, self.max_batch)  # _drain caps b there
                 if b_pad > b:
                     sub_audio = np.concatenate(
                         [sub_audio, np.repeat(sub_audio[-1:],

@@ -441,6 +441,24 @@ def render_index() -> str:
     return _TEMPLATE_RE.sub(sub, INDEX_HTML)
 
 
+def _raised_in_library(e: BaseException) -> bool:
+    """True when the exception's traceback passes through rvc_maker_tpu
+    code OUTSIDE this app/ package: a server-side fault (pipeline bug,
+    corrupt model, divergent int8 trace), not a malformed request —
+    even if its type is one the 400 classifier matches.  Request-parse
+    errors (missing json field, bad base64, scipy failing on bad wav
+    bytes) only traverse app/ and third-party frames."""
+    import traceback
+
+    pkg = os.sep + "rvc_maker_tpu" + os.sep
+    app = pkg + "app" + os.sep
+    for frame, _ in traceback.walk_tb(e.__traceback__):
+        fn = frame.f_code.co_filename
+        if pkg in fn and app not in fn:
+            return True
+    return False
+
+
 def _wav_bytes_to_audio(data: bytes):
     from scipy.io import wavfile
 
@@ -609,13 +627,19 @@ class Handler(BaseHTTPRequestHandler):
             if isinstance(e, BatcherOverloaded):
                 # backpressure: tell the client to retry, keep serving
                 self._json({"error": str(e), "retry": True}, 503)
-            elif isinstance(e, (KeyError, ValueError, TypeError,
-                                binascii.Error, json.JSONDecodeError)):
-                # malformed request (missing field, bad base64/wav/json):
-                # client error, not a server fault — and never fatal to
-                # the serving process
+            elif (isinstance(e, (KeyError, ValueError, TypeError,
+                                 binascii.Error, json.JSONDecodeError))
+                  and not _raised_in_library(e)):
+                # malformed request (missing field, bad base64/wav/json
+                # — raised while this module parses the request): client
+                # error, not a server fault, and never fatal to the
+                # serving process.  The same exception TYPES raised deep
+                # in library code (e.g. Int8Ctx signature mismatch, a
+                # corrupt model file) are server faults: those keep the
+                # 500 + full-traceback branch below instead of being
+                # silently blamed on the client (review r5).
                 logger.warning("%s", tr("bad_request", path=self.path,
-                                        error=repr(e)))
+                                        error=repr(e)), exc_info=True)
                 self._json({"error": tr("bad_request", path=self.path,
                                         error=str(e))}, 400)
             else:

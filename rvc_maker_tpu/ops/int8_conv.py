@@ -48,11 +48,22 @@ def int8_enabled(dtype) -> bool:
 
 def int8_scope() -> frozenset:
     """Which stages RVC_TPU_INT8=1 quantizes.  Default: all of them;
-    RVC_TPU_INT8_SCOPE=decode,hubert,rmvpe subsets for A/B isolation."""
+    RVC_TPU_INT8_SCOPE=decode,hubert,rmvpe subsets for A/B isolation.
+    Unknown tokens are warned about (a typo would otherwise silently
+    disable the stage the operator meant to quantize)."""
     s = os.environ.get("RVC_TPU_INT8_SCOPE", "all").strip()
+    known = frozenset({"decode", "hubert", "rmvpe"})
     if s in ("", "all"):
-        return frozenset({"decode", "hubert", "rmvpe"})
-    return frozenset(x.strip() for x in s.split(",") if x.strip())
+        return known
+    toks = frozenset(x.strip() for x in s.split(",") if x.strip())
+    unknown = toks - known
+    if unknown:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "RVC_TPU_INT8_SCOPE: unknown stage(s) %s ignored (known: %s)",
+            sorted(unknown), sorted(known))
+    return toks
 
 
 def quantize_weight(w):

@@ -175,12 +175,16 @@ class ConvertPipeline:
 
             self.hubert_params = jax.device_put(
                 jax.jit(prequantize_hubert)(self.hubert_params))
-        if (self.use_int8_rmvpe and rmvpe_params is not None
-                and not hasattr(rmvpe_params, "input_names")):
+        self.rmvpe_params = _prep(rmvpe_params)
+        if (self.use_int8_rmvpe and self.rmvpe_params is not None
+                and not hasattr(self.rmvpe_params, "input_names")):
+            # AFTER _prep, like the hubert path: _prep's cast_floats would
+            # otherwise round the freshly computed f32 dequant scales
+            # (w_scale) to bf16, adding systematic per-channel gain error
             from ..ops.int8_conv import prequantize_rmvpe
 
-            rmvpe_params = jax.jit(prequantize_rmvpe)(rmvpe_params)
-        self.rmvpe_params = _prep(rmvpe_params)
+            self.rmvpe_params = jax.device_put(
+                jax.jit(prequantize_rmvpe)(self.rmvpe_params))
         self.fcpe_params = _prep(fcpe_params)
         # crepe decodes on host (Viterbi); params stay fp32 for parity
         # (.onnx predictor graphs pass through — reference --f0_onnx)
@@ -271,9 +275,18 @@ class ConvertPipeline:
         from ..ops.int8_conv import Int8Ctx, calibration_scales
 
         ctx = Int8Ctx("calibrate")
-        prev, self.use_int8 = self.use_int8, ctx  # _synth_raw trace-time
+        # the calibrate ctx is only read at TRACE time; the pass is built
+        # (and traced, on its first call below) exactly once — at
+        # construction, before any traffic thread exists.  Later audits
+        # reuse the cached program without touching self.use_int8, so a
+        # concurrent request tracing a new bucket can never capture the
+        # ephemeral calibrate ctx in its hot program (review r5).
+        first = "_int8_pass" not in self._step_cache
+        prev = self.use_int8
+        if first:
+            self.use_int8 = ctx  # _synth_raw trace-time
         try:
-            if "_int8_pass" not in self._step_cache:
+            if first:
                 f0_fn = self._f0_raw("yin")
                 feat_fn = self._features_raw(False)
                 synth_fn = self._synth_raw()
@@ -301,7 +314,8 @@ class ConvertPipeline:
             lens = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
             _, collected = run_jit(sp, hp, jnp.asarray(audio), lens)
         finally:
-            self.use_int8 = prev
+            if first:
+                self.use_int8 = prev
         return calibration_scales(collected, sigs_ref)
 
     def _int8_calibrate(self) -> None:
@@ -929,8 +943,10 @@ class ConvertPipeline:
         s = settings
         if (os.environ.get("RVC_TPU_INT8_AUDIT", "0") == "1"
                 and not getattr(self, "_int8_audited", False)
-                and getattr(self.use_int8, "mode", None) == "static"):
+                and getattr(self.use_int8, "mode", None) == "static"
+                and np.abs(audio16k).max() > 1e-6):
             # one-shot clip audit of the real input vs the baked scales
+            # (silence — e.g. warmup zeros — must not consume the shot)
             self._int8_audited = True
             self.audit_int8_scales(audio16k)
         tgt_sr = self.cfg.sr

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+from collections import OrderedDict
 
 import numpy as np
 
@@ -182,7 +183,26 @@ def _graph_batch_static_one(graph) -> bool:
         return False
 
 
-_JIT_CACHE: dict = {}
+# Small LRU: each entry is a compiled U-Net(+OLA) executable whose key
+# includes the mix LENGTH, so a long-running server separating many
+# tracks would otherwise grow one pinned program (and ONNX graph
+# closure) per distinct song length until OOM (review r5).
+_JIT_CACHE: OrderedDict = OrderedDict()
+_JIT_CACHE_MAX = int(os.environ.get("RVC_TPU_MDX_JIT_CACHE", "8"))
+
+
+def _jit_cache_get(key):
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        _JIT_CACHE.move_to_end(key)
+    return fn
+
+
+def _jit_cache_put(key, fn):
+    _JIT_CACHE[key] = fn
+    while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+        _JIT_CACHE.popitem(last=False)
+    return fn
 
 
 def _make_run_model(graph, p: MDXParams):
@@ -191,8 +211,9 @@ def _make_run_model(graph, p: MDXParams):
     Memoized per (graph, params): a fresh jit per demix call would
     re-trace every time."""
     key = ("run", id(graph), p)
-    if key in _JIT_CACHE:
-        return _JIT_CACHE[key]
+    cached = _jit_cache_get(key)
+    if cached is not None:
+        return cached
     map_one = graph is not None and _graph_batch_static_one(graph)
 
     def apply_graph(spek):
@@ -226,8 +247,7 @@ def _make_run_model(graph, p: MDXParams):
         return mdx_istft(pred, n_fft=p.n_fft, hop=p.hop_length,
                          length=chunk)
 
-    _JIT_CACHE[key] = jax.jit(run)
-    return _JIT_CACHE[key]
+    return _jit_cache_put(key, jax.jit(run))
 
 
 def mdx_demix(graph, mix: np.ndarray, p: MDXParams, *,
@@ -300,10 +320,11 @@ def mdx_demix(graph, mix: np.ndarray, p: MDXParams, *,
 
     okey = ("ola", id(graph), p, mix.shape[-1], is_match_mix,
             os.environ.get("RVC_TPU_FETCH_F16", "0"))
-    if okey not in _JIT_CACHE:
-        _JIT_CACHE[okey] = jax.jit(ola)
+    ola_jit = _jit_cache_get(okey)
+    if ola_jit is None:
+        ola_jit = _jit_cache_put(okey, jax.jit(ola))
     batch = jnp.asarray(np.stack(parts))                # (N, 2, chunk)
-    out = np.asarray(_JIT_CACHE[okey](batch)).astype(np.float32)
+    out = np.asarray(ola_jit(batch)).astype(np.float32)
     return out
 
 

@@ -81,17 +81,21 @@ def enable_compilation_cache() -> bool:
 
 def warm_pipeline(pipe, settings=None, *, seconds=(3,), batches=(1,),
                   fetch: bool = True) -> float:
-    """Precompile the fused convert program for the given bucket shapes.
+    """Precompile the fused convert programs for the given bucket shapes.
 
-    seconds: utterance-bucket lengths to warm.  The pipeline buckets RAW
-    audio length to whole seconds and the x_pad reflection happens INSIDE
-    the traced program, so a request of n seconds runs the n-second
-    program: warm the request lengths themselves (verified by
-    JAX_LOG_COMPILES — a 5 s request compiles the 80000-sample fused
-    program, not 112000).  batches: device batch sizes to warm (serving
-    uses 1; the dynamic batcher pads to its bucket sizes).
+    seconds: request lengths to warm.  The two serve paths run DIFFERENT
+    buckets for the same request (verified by JAX_LOG_COMPILES):
+      * the dynamic batcher (RVC_TPU_BATCH_SERVE=1) feeds raw audio into
+        convert_batch, whose x_pad reflection happens inside the traced
+        program — an n-second request runs the n-second bucket;
+      * the default single-request path (convert_utterance) reflect-pads
+        x_pad seconds per side ON THE HOST before bucketing — an
+        n-second request runs the (n + 2*x_pad)-second bucket.
+    Both are warmed: convert_batch at every (batch, seconds) shape, and
+    (for batch-1 entries) a real convert_utterance call so the padded
+    bucket compiles through the exact production path.
 
-    Runs zeros through convert_batch — same code path as traffic, so the
+    Runs zeros through the pipeline — same code paths as traffic, so the
     in-process jit cache AND the persistent disk cache both populate.
     Returns wall seconds spent."""
     import time
@@ -115,6 +119,15 @@ def warm_pipeline(pipe, settings=None, *, seconds=(3,), batches=(1,),
                     np.asarray(wav[0, :8])   # true completion fence
             except Exception as e:  # noqa: BLE001 — warmup must not kill
                 logger.warning("warmup (B=%d, %ds) failed: %s", b, sec, e)
+            if int(b) != 1:
+                continue
+            try:
+                out = pipe.convert_utterance(audio[0], 0, settings)
+                if fetch:
+                    np.asarray(out[:8])
+            except Exception as e:  # noqa: BLE001 — warmup must not kill
+                logger.warning("warmup (utterance, %ds) failed: %s",
+                               sec, e)
     dt = time.time() - t0
     logger.info("warmup done: batches=%s seconds=%s in %.1f s",
                 list(batches), list(seconds), dt)

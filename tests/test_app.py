@@ -439,3 +439,21 @@ def test_convert_refused_while_training_job_active(tmp_path, server_port,
         with app_server._JOBS_LOCK:
             app_server._JOBS["train-999"]["done"] = True
             del app_server._JOBS["train-999"]
+
+
+def test_raised_in_library_classifier():
+    """Exception types the 400 classifier matches are still server
+    faults (500) when raised from library code: the classifier keys on
+    whether the traceback leaves app/ (review r5)."""
+    from rvc_maker_tpu.app.server import _raised_in_library
+    from rvc_maker_tpu.ops.int8_conv import Int8Ctx
+
+    try:
+        json.loads("{")                       # stdlib-only traceback
+    except json.JSONDecodeError as e:
+        assert not _raised_in_library(e)
+
+    try:
+        Int8Ctx("bogus-mode")                 # raises inside ops/
+    except ValueError as e:
+        assert _raised_in_library(e)

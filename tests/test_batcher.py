@@ -114,3 +114,44 @@ def test_batcher_error_propagates(pipeline):
             batcher.convert(_tone(220.0, 0.3), 0, bad, timeout=120)
     finally:
         batcher.close()
+
+
+def test_batcher_pow2_pad_respects_max_batch(pipeline):
+    """Batch-axis pow2 padding must stay capped at max_batch: a
+    non-power-of-two cap (e.g. 3) must never compile/run a larger
+    device batch than the operator configured (review r5)."""
+
+    class _Recorder:
+        def __init__(self, pipe):
+            self._pipe = pipe
+            self.batch_sizes = []
+
+        def __getattr__(self, name):
+            return getattr(self._pipe, name)
+
+        def convert_batch(self, audio, lengths, sid, settings):
+            self.batch_sizes.append(audio.shape[0])
+            return self._pipe.convert_batch(audio, lengths, sid, settings)
+
+    rec = _Recorder(pipeline)
+    batcher = ConvertBatcher(rec, max_batch=3, max_wait_ms=250)
+    settings = ConvertSettings(f0_method="yin", index_rate=0.0)
+    results = {}
+
+    def call(i, freq):
+        results[i] = batcher.convert(_tone(freq, 0.5), 0, settings,
+                                     timeout=600)
+
+    try:
+        threads = [threading.Thread(target=call, args=(i, 200.0 + 20 * i))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        batcher.close()
+    assert len(results) == 3
+    for out in results.values():
+        assert np.all(np.isfinite(out))
+    assert rec.batch_sizes and max(rec.batch_sizes) <= 3, rec.batch_sizes

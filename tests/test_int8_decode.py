@@ -242,3 +242,57 @@ def test_int8_hubert_features_close_and_scoped(monkeypatch):
                             compute_dtype=jnp.bfloat16)
     assert pipe2.use_int8_hubert is False
     assert bool(pipe2.use_int8) or hasattr(pipe2.use_int8, "mode")
+
+
+def test_int8_rmvpe_scales_stay_f32_through_prep(monkeypatch):
+    """prequantize_rmvpe must run AFTER the pipeline's bf16 cast: w_scale
+    are f32 dequantization constants, and cast_floats rounding them to
+    bf16 would add systematic per-channel gain error (review r5)."""
+    import dataclasses
+
+    from rvc_maker_tpu.models import hubert as hubert_mod
+    from rvc_maker_tpu.pipelines.convert import ConvertPipeline
+
+    cfg = dataclasses.replace(CFG, text_enc_hidden_dim=768)
+    synth_params = syn.init_params(jax.random.PRNGKey(0), cfg)
+    hub = hubert_mod.init_params(jax.random.PRNGKey(1), n_layers=2)
+    rs = np.random.RandomState(0)
+    # minimal U-Net-shaped tree: one conv at Cin>=128 (quantized) and one
+    # small-C conv (left alone by the RMVPE_INT8_MIN_CIN policy)
+    rmvpe_tree = {
+        "deep": {"conv1": {"w": rs.randn(3, 3, 128, 128).astype(np.float32),
+                           "b": np.zeros(128, np.float32)}},
+        "shallow": {"conv1": {"w": rs.randn(3, 3, 16, 16).astype(np.float32),
+                              "b": np.zeros(16, np.float32)}},
+    }
+    monkeypatch.setenv("RVC_TPU_INT8", "1")
+    monkeypatch.setenv("RVC_TPU_INT8_SCOPE", "rmvpe")
+    pipe = ConvertPipeline(synth_params, cfg, hub, version="v2",
+                           rmvpe_params=rmvpe_tree,
+                           compute_dtype=jnp.bfloat16)
+    deep = pipe.rmvpe_params["deep"]["conv1"]
+    assert deep["w_q"].dtype == jnp.int8
+    assert deep["w_scale"].dtype == jnp.float32     # NOT bf16-rounded
+    assert deep["w"].dtype == jnp.bfloat16          # cast still applied
+    assert "w_q" not in pipe.rmvpe_params["shallow"]["conv1"]
+
+
+def test_int8_scope_warns_on_unknown_token(monkeypatch, caplog):
+    """A typoed RVC_TPU_INT8_SCOPE must warn instead of silently
+    disabling the stage the operator meant to quantize (review r5)."""
+    import logging
+
+    from rvc_maker_tpu.ops.int8_conv import int8_scope
+
+    monkeypatch.setenv("RVC_TPU_INT8_SCOPE", "rvmpe,decode")
+    with caplog.at_level(logging.WARNING):
+        scope = int8_scope()
+    assert "decode" in scope
+    assert any("rvmpe" in r.message for r in caplog.records)
+
+    caplog.clear()
+    monkeypatch.setenv("RVC_TPU_INT8_SCOPE", "decode,hubert")
+    with caplog.at_level(logging.WARNING):
+        scope = int8_scope()
+    assert scope == frozenset({"decode", "hubert"})
+    assert not caplog.records

@@ -218,3 +218,27 @@ def test_stft_istft_slice_path_matches_gather_path():
         a = np.asarray(out)[:, :, n_fft: -n_fft]
         # dim_f=100 low-passes hard; just require finite + same scale
         assert np.isfinite(a).all()
+
+
+def test_mdx_jit_cache_is_bounded():
+    """The per-(graph, length) compiled-program cache must evict (a
+    long-running server would otherwise grow one pinned executable per
+    distinct song length until OOM — review r5)."""
+    from rvc_maker_tpu.pipelines import mdx as mdx_mod
+
+    saved = dict(mdx_mod._JIT_CACHE)
+    mdx_mod._JIT_CACHE.clear()
+    try:
+        cap = mdx_mod._JIT_CACHE_MAX
+        for i in range(cap + 5):
+            mdx_mod._jit_cache_put(("t", i), object())
+        assert len(mdx_mod._JIT_CACHE) == cap
+        assert mdx_mod._jit_cache_get(("t", 0)) is None      # evicted
+        assert mdx_mod._jit_cache_get(("t", cap + 4)) is not None
+        # LRU: touching an old entry protects it from the next eviction
+        mdx_mod._jit_cache_get(("t", 5))
+        mdx_mod._jit_cache_put(("t", 999), object())
+        assert mdx_mod._jit_cache_get(("t", 5)) is not None
+    finally:
+        mdx_mod._JIT_CACHE.clear()
+        mdx_mod._JIT_CACHE.update(saved)
