@@ -181,12 +181,18 @@ def main():
     # fresh-process warm start (VERDICT r4 #2): a NEW server process with
     # --warm-* precompiles its buckets from the persistent cache BEFORE
     # accepting traffic; the first real request must then be warm-fast.
+    # Runs on the DEFAULT (non-batcher) serve path — the stricter case:
+    # convert_utterance host-pads x_pad before bucketing, so warmup must
+    # cover the (n + 2*x_pad)-second program, not just the batcher's
+    # n-second one (review r5; utils/warmup.py warms both).
+    env_default = dict(env)
+    env_default.pop("RVC_TPU_BATCH_SERVE", None)
     t0 = time.time()
     srv = subprocess.Popen(
         [sys.executable, "-u", "-m", "rvc_maker_tpu.app.server",
          "--port", str(port), "--warm-model", model,
          "--warm-buckets", f"{int(secs)}"],
-        cwd=REPO, env=env, stdout=subprocess.DEVNULL,
+        cwd=REPO, env=env_default, stdout=subprocess.DEVNULL,
         stderr=subprocess.STDOUT)
     try:
         ready = None
